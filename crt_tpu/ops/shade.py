@@ -1,0 +1,365 @@
+"""Wavefront Whitted shading.
+
+The reference shades with a recursive CPU function over one ray
+(crt_renderer.cpp:46-145).  Here the recursion is *unrolled at trace time*
+over the whole ray wavefront: every level traces the full [R]-ray batch once,
+material behavior is applied with masks, and the (statically bounded) set of
+secondary rays — one shared reflection batch, one refraction batch, K diffuse
+GI batches — recurses into the next level.  Static scene feature flags
+(has_reflective / has_refractive / gi_on ...) prune branches at compile time,
+so e.g. a diffuse-only scene compiles to exactly
+``1 primary trace + L shadow traces`` with zero recursion.
+
+Semantics mirrored from crt_renderer.cpp:
+  - depth cutoff -> black (:47-48)
+  - miss -> scene background (:143)
+  - diffuse: per light  albedo * intensity / (4 pi r^2) * max(0, L.N)  with
+    shadow occlusion  hit_dist^2 > r^2  (:81-96); GI hemisphere sampling with
+    the PCG32 two-angle local-basis construction (:60-79)
+  - reflective: albedo (*) shade(reflected) or plain albedo when reflections
+    are disabled (:103-107)
+  - refractive: normal flip + IOR swap on exit, Snell refraction with TIR,
+    always-traced reflection, Schlick-style blend
+    fresnel = 0.5 * (1 + d.n)^5 (:109-135)
+  - constant: albedo sample (:137-139)
+
+``head_compat=True`` reproduces the two quirks at the surveyed HEAD
+(SURVEY.md §3.2): shadow occlusion disabled, the unconditional
+``/= diffuse_reflection_ray_count + 1`` divide, and the Hadamard-product typo
+(albedo.y^2, crt_vector.h:77) in reflective shading.
+
+Gradient contract (BASELINE.json): hit triangle *indices* and visibility
+masks are discrete (stop-gradient); every continuous quantity — hit distance,
+point, normal, barycentrics, uv, all shading math — is recomputed from scene
+arrays and differentiable w.r.t. vertices, normals, uvs, materials, textures,
+lights and camera.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from crt_tpu.ops import rng as rng_mod
+from crt_tpu.ops import vecmath
+from crt_tpu.ops.intersect import Hit
+from crt_tpu.ops.texture import sample_textures
+from crt_tpu.scene.types import (
+    MATERIAL_CONSTANT,
+    MATERIAL_DIFFUSE,
+    MATERIAL_REFLECTIVE,
+    MATERIAL_REFRACTIVE,
+)
+
+_PI = math.pi
+
+
+class HitAttributes(NamedTuple):
+    """Differentiable per-ray hit attributes recomputed from triangle ids.
+
+    Mirrors crt::Intersection (crt_intersection.h:13-20) plus gathered
+    material data.  Lanes where ``valid`` is False hold safe dummy values.
+    """
+
+    valid: jnp.ndarray  # [R] bool
+    t: jnp.ndarray  # [R] f32 hit distance (differentiable recomputation)
+    point: jnp.ndarray  # [R, 3]
+    normal: jnp.ndarray  # [R, 3] shading normal (smooth or face)
+    uv: jnp.ndarray  # [R, 3]
+    bary_u: jnp.ndarray  # [R]
+    bary_v: jnp.ndarray  # [R]
+    mat_type: jnp.ndarray  # [R] i32
+    albedo_tex: jnp.ndarray  # [R] i32
+    ior: jnp.ndarray  # [R] f32
+
+
+def hit_attributes(scene, origins, dirs, hit: Hit) -> HitAttributes:
+    """Recompute intersection attributes exactly as crt_intersection.cpp:60-88.
+
+    ``hit.tri`` is treated as a constant (discrete choice); everything else
+    differentiates through the scene arrays.
+    """
+    tri = jnp.maximum(jax.lax.stop_gradient(hit.tri), 0)
+    valid = jax.lax.stop_gradient(hit.tri) >= 0
+
+    idx = scene.tri_vidx[tri]  # [R, 3]
+    v0 = scene.vertices[idx[..., 0]]
+    v1 = scene.vertices[idx[..., 1]]
+    v2 = scene.vertices[idx[..., 2]]
+
+    face_n = vecmath.safe_normalize(vecmath.cross(v1 - v0, v2 - v0))
+
+    nd = vecmath.dot(face_n, dirs)
+    opd = vecmath.dot(face_n, v0 - origins)
+    t = opd / jnp.where(jnp.abs(nd) > 0, nd, 1.0)
+    t = jnp.where(valid, t, 0.0)
+    point = origins + dirs * t[..., None]
+
+    # Barycentrics from cross-product magnitudes (crt_intersection.cpp:71-74).
+    v0p = point - v0
+    v0v1 = v1 - v0
+    v0v2 = v2 - v0
+    denom = vecmath.length(vecmath.cross(v0v1, v0v2))
+    denom = jnp.where(denom > 0, denom, 1.0)
+    bary_u = vecmath.length(vecmath.cross(v0p, v0v2)) / denom
+    bary_v = vecmath.length(vecmath.cross(v0v1, v0p)) / denom
+
+    n0 = scene.vertex_normals[idx[..., 0]]
+    n1 = scene.vertex_normals[idx[..., 1]]
+    n2 = scene.vertex_normals[idx[..., 2]]
+    # NOTE: the reference does NOT renormalize the interpolated normal
+    # (crt_intersection.cpp:76) — preserved here.
+    smooth_n = (
+        n1 * bary_u[..., None]
+        + n2 * bary_v[..., None]
+        + n0 * (1.0 - bary_u - bary_v)[..., None]
+    )
+
+    uv0 = scene.vertex_uvs[idx[..., 0]]
+    uv1 = scene.vertex_uvs[idx[..., 1]]
+    uv2 = scene.vertex_uvs[idx[..., 2]]
+    uv = (
+        uv1 * bary_u[..., None]
+        + uv2 * bary_v[..., None]
+        + uv0 * (1.0 - bary_u - bary_v)[..., None]
+    )
+
+    mat = scene.tri_material[tri]
+    smooth_flag = scene.mat_smooth[mat]
+    normal = jnp.where(smooth_flag[..., None], smooth_n, face_n)
+
+    return HitAttributes(
+        valid=valid,
+        t=t,
+        point=point,
+        normal=normal,
+        uv=uv,
+        bary_u=bary_u,
+        bary_v=bary_v,
+        mat_type=scene.mat_type[mat],
+        albedo_tex=scene.mat_albedo_tex[mat],
+        ior=scene.mat_ior[mat],
+    )
+
+
+def _hadamard(albedo, color, head_compat: bool):
+    """albedo (*) color — with the reference operator* typo under head_compat
+    (crt_vector.h:77: y component gets an extra albedo.y factor)."""
+    out = albedo * color
+    if head_compat:
+        out = out.at[..., 1].multiply(albedo[..., 1])
+    return out
+
+
+def _occlusion_mask(trace_fn, point, normal, light_pos, shadow_bias, head_compat):
+    """is_illuminated per ray for one light (crt_renderer.cpp:81-96).
+
+    Correct-behavior shadow occlusion: closest hit along the shadow ray with
+    hit_dist^2 > light_dist^2 meaning unoccluded.  Under head_compat every
+    surface is lit (the HEAD helper never traces, crt_renderer.cpp:32-33).
+    Discrete visibility — stop-gradient by construction (the mask is boolean).
+    """
+    light_vec = light_pos - point
+    r2 = vecmath.length_squared(light_vec)
+    light_dir = vecmath.safe_normalize(light_vec)
+    if head_compat:
+        return jnp.ones(point.shape[:-1], bool), light_dir, r2
+
+    shadow_o = point + normal * shadow_bias
+    sh = trace_fn(shadow_o, light_dir)
+    sh_t = jax.lax.stop_gradient(sh.t)
+    illuminated = ~sh.valid | (sh_t * sh_t > jax.lax.stop_gradient(r2))
+    return illuminated, light_dir, r2
+
+
+def shade_wavefront(
+    scene,
+    settings,
+    trace_fn,
+    origins: jnp.ndarray,  # [R, 3]
+    dirs: jnp.ndarray,  # [R, 3]
+    raster_x: Optional[jnp.ndarray] = None,  # [R] for GI RNG seeding
+    raster_y: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Shade a camera-ray wavefront -> [R, 3] linear colors.
+
+    ``trace_fn(origins, dirs) -> Hit`` is the intersection backend (brute
+    force, while-loop tree, or Pallas kernel).
+    """
+    if scene.gi_on:
+        assert raster_x is not None and raster_y is not None, (
+            "GI needs raster coords for per-pixel PCG32 seeding"
+        )
+        rng = rng_mod.make_pcg(raster_x, raster_y)
+    else:
+        rng = None
+
+    active = jnp.ones(origins.shape[:-1], bool)
+    color, _ = _shade_level(
+        scene, settings, trace_fn, origins, dirs, 0, rng, active
+    )
+    return color
+
+
+def _shade_level(scene, settings, trace_fn, origins, dirs, depth, rng, active):
+    """One unrolled recursion level.  Returns (color [R,3], rng)."""
+    R = origins.shape[:-1]
+    black = jnp.zeros(R + (3,), jnp.float32)
+
+    if depth > settings.max_ray_depth:  # crt_renderer.cpp:47-48
+        return black, rng
+
+    hit = trace_fn(origins, dirs)
+    attrs = hit_attributes(scene, origins, dirs, hit)
+
+    if not scene.has_materials:
+        # Legacy material-less scenes (07-*): the era's golden renders show a
+        # flat (200,200,200)/255 hit color (results/png/07-01-scene-*.png);
+        # the HEAD loader rejects these scenes outright (crt_json.cpp:590-592).
+        legacy = jnp.full(R + (3,), 200.0 / 255.0, jnp.float32)
+        return jnp.where(attrs.valid[..., None], legacy, scene.background_color), rng
+
+    albedo = sample_textures(
+        scene, attrs.albedo_tex, attrs.uv, attrs.bary_u, attrs.bary_v
+    )
+
+    is_diffuse = attrs.valid & (attrs.mat_type == MATERIAL_DIFFUSE)
+    is_reflective = attrs.valid & (attrs.mat_type == MATERIAL_REFLECTIVE)
+    is_refractive = attrs.valid & (attrs.mat_type == MATERIAL_REFRACTIVE)
+    is_constant = attrs.valid & (attrs.mat_type == MATERIAL_CONSTANT)
+
+    normal = attrs.normal
+    point = attrs.point
+
+    # ---- refractive geometry (computed first: it feeds the shared
+    # reflection batch).  crt_renderer.cpp:113-126.
+    want_refract = scene.has_refractive and scene.refractions_on
+    if want_refract:
+        d_dot_n = vecmath.dot(dirs, normal)
+        exiting = d_dot_n > 0.0
+        refr_normal = jnp.where(exiting[..., None], -normal, normal)
+        outside_ior = jnp.where(exiting, attrs.ior, 1.0)
+        inside_ior = jnp.where(exiting, 1.0, attrs.ior)
+        refr_dir, refr_ok = vecmath.refract(
+            dirs, refr_normal, outside_ior, inside_ior
+        )
+        refr_origin = point - refr_normal * settings.refraction_bias
+    else:
+        refr_normal = normal
+        refr_ok = jnp.zeros(R, bool)
+
+    # ---- shared reflection batch: reflective lanes reflect about the plain
+    # shading normal, refractive lanes about the (possibly flipped) one.
+    want_reflect_for_reflective = scene.has_reflective and scene.reflections_on
+    need_reflection = want_reflect_for_reflective or want_refract
+    if need_reflection and depth < settings.max_ray_depth + 1:
+        n_eff = jnp.where(is_refractive[..., None], refr_normal, normal)
+        refl_dir = vecmath.reflect(dirs, n_eff)
+        refl_origin = point + n_eff * settings.reflection_bias
+        refl_active = active & (
+            (is_reflective if want_reflect_for_reflective else jnp.zeros(R, bool))
+            | (is_refractive if want_refract else jnp.zeros(R, bool))
+        )
+        refl_color, rng = _shade_level(
+            scene, settings, trace_fn, refl_origin, refl_dir,
+            depth + 1, rng, refl_active,
+        )
+    else:
+        refl_color = black
+
+    if want_refract:
+        refr_color, rng = _shade_level(
+            scene, settings, trace_fn, refr_origin, refr_dir,
+            depth + 1, rng, active & is_refractive & refr_ok,
+        )
+    else:
+        refr_color = black
+
+    # ---- diffuse ----------------------------------------------------------
+    diffuse_color = black
+    if scene.gi_on:
+        gi_active = active & is_diffuse
+        for _ in range(settings.diffuse_reflection_ray_count):
+            # Local basis from (ray, normal) — crt_renderer.cpp:62-66.
+            right = vecmath.safe_normalize(vecmath.cross(dirs, normal))
+            up = normal
+            forward = vecmath.cross(right, up)
+            local_m = vecmath.from_axes(right, up, forward)  # [R, 3, 3]
+
+            u1, rng = rng_mod.uniform(rng, gi_active)
+            angle_xy = _PI * u1
+            gi_dir = jnp.stack(
+                [jnp.cos(angle_xy), jnp.sin(angle_xy), jnp.zeros_like(angle_xy)],
+                axis=-1,
+            )
+            u2, rng = rng_mod.uniform(rng, gi_active)
+            angle_xz = 2.0 * _PI * u2
+            # direction *= rotation_y(angle): batched row-vector convention.
+            c, s = jnp.cos(angle_xz), jnp.sin(angle_xz)
+            x, z = gi_dir[..., 0], gi_dir[..., 2]
+            gi_dir = jnp.stack(
+                [x * c + z * s, gi_dir[..., 1], -x * s + z * c], axis=-1
+            )
+            gi_dir = vecmath.rotate_rows(gi_dir, local_m)
+
+            gi_origin = point + normal * settings.diffuse_reflection_bias
+            gi_color, rng = _shade_level(
+                scene, settings, trace_fn, gi_origin, gi_dir,
+                depth + 1, rng, gi_active,
+            )
+            diffuse_color = diffuse_color + gi_color
+
+    for li in range(scene.num_lights):
+        light_pos = scene.light_position[li]
+        illuminated, light_dir, r2 = _occlusion_mask(
+            trace_fn, point, normal, light_pos,
+            settings.shadow_bias, settings.head_compat,
+        )
+        cos_law = jnp.maximum(0.0, vecmath.dot(light_dir, normal))
+        sphere_area = 4.0 * _PI * r2
+        contrib = (
+            albedo
+            * (scene.light_intensity[li] / sphere_area * cos_law)[..., None]
+        )
+        diffuse_color = diffuse_color + jnp.where(
+            illuminated[..., None], contrib, 0.0
+        )
+
+    if settings.head_compat:
+        # HEAD quirk: unconditional divide (crt_renderer.cpp:98).
+        diffuse_color = diffuse_color / (settings.diffuse_reflection_ray_count + 1)
+    elif scene.gi_on:
+        diffuse_color = diffuse_color / (settings.diffuse_reflection_ray_count + 1)
+
+    # ---- reflective --------------------------------------------------------
+    if want_reflect_for_reflective:
+        reflective_color = _hadamard(albedo, refl_color, settings.head_compat)
+    else:
+        reflective_color = albedo  # reflections_on == false (:106)
+
+    # ---- refractive --------------------------------------------------------
+    if want_refract:
+        # fresnel uses the (possibly flipped) normal (crt_renderer.cpp:130).
+        fresnel = 0.5 * jnp.power(
+            1.0 + vecmath.dot(dirs, refr_normal), 5.0
+        )
+        blended = (
+            refl_color * fresnel[..., None]
+            + refr_color * (1.0 - fresnel[..., None])
+        )
+        refractive_color = jnp.where(refr_ok[..., None], blended, refl_color)
+    else:
+        refractive_color = black  # refractions_on == false -> black (:110-111)
+
+    color = jnp.where(is_diffuse[..., None], diffuse_color, scene.background_color)
+    if scene.has_reflective:
+        color = jnp.where(is_reflective[..., None], reflective_color, color)
+    if scene.has_refractive:
+        color = jnp.where(is_refractive[..., None], refractive_color, color)
+    if scene.has_constant:
+        color = jnp.where(is_constant[..., None], albedo, color)
+
+    return color, rng

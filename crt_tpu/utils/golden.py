@@ -1,0 +1,66 @@
+"""Golden-image comparison utilities.
+
+The reference repo's regression corpus is its committed course renders
+(results/png/*.png, 8-bit, no gamma).  Comparison rule: quantize our float
+render with the PPM writer's clamp (crt_image_ppm.cpp:16-19) and count pixels
+within a small per-channel tolerance.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import numpy as np
+
+GOLDEN_PNG = pathlib.Path("/root/reference/results/png")
+SCENES = pathlib.Path("/root/reference/scenes")
+
+# (scene relpath, golden name) for every scene loadable at reference HEAD.
+HEAD_GOLDEN_CASES = [
+    ("09-01-barycentric-coordinates/scene1.crtscene", "09-01-barycentric-coordinates-scene1"),
+    ("09-02-diffuse-smooth-shading/scene2.crtscene", "09-02-diffuse-smooth-shading-scene2"),
+    ("09-02-diffuse-smooth-shading/scene3.crtscene", "09-02-diffuse-smooth-shading-scene3"),
+    ("09-03-reflective/scene4.crtscene", "09-03-reflective-scene4"),
+    ("09-03-reflective/scene5.crtscene", "09-03-reflective-scene5"),
+    ("11-01-refractive/scene0.crtscene", "11-01-refractive-scene0"),
+    ("11-01-refractive/scene1.crtscene", "11-01-refractive-scene1"),
+    ("11-01-refractive/scene2.crtscene", "11-01-refractive-scene2"),
+    ("11-01-refractive/scene3.crtscene", "11-01-refractive-scene3"),
+    ("11-01-refractive/scene4.crtscene", "11-01-refractive-scene4"),
+    ("11-01-refractive/scene5.crtscene", "11-01-refractive-scene5"),
+    ("11-01-refractive/scene6.crtscene", "11-01-refractive-scene6"),
+    ("11-01-refractive/scene7.crtscene", "11-01-refractive-scene7"),
+    ("11-01-refractive/scene8.crtscene", "11-01-refractive-scene8"),
+    ("12-01-textures/scene0.crtscene", "12-01-textures-scene0"),
+    ("12-01-textures/scene1.crtscene", "12-01-textures-scene1"),
+    ("12-01-textures/scene2.crtscene", "12-01-textures-scene2"),
+    ("12-01-textures/scene3.crtscene", "12-01-textures-scene3"),
+    ("12-01-textures/scene4.crtscene", "12-01-textures-scene4"),
+    ("13-01-optimizations/scene0.crtscene", "13-01-optimizations"),
+    ("14-01-acceleration-tree/scene0.crtscene", "14-01-acceleration-tree-scene0"),
+    ("14-01-acceleration-tree/scene1.crtscene", "14-01-acceleration-tree-scene1"),
+    ("15-01-conclusion/scene2.crtscene", "15-01-conclusion"),
+]
+
+# Legacy scenes that HEAD's loader rejects but we load in lenient mode.
+LEGACY_GOLDEN_CASES = [
+    ("07-01-scene/scene0.crtscene", "07-01-scene-scene0"),
+    ("07-01-scene/scene2.crtscene", "07-01-scene-scene2"),
+]
+
+
+def load_golden(name: str) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(GOLDEN_PNG / f"{name}.png") as im:
+        return np.asarray(im.convert("RGB"), np.float32) / 255.0
+
+
+def match_stats(render: np.ndarray, golden: np.ndarray, tol=2.5 / 255.0):
+    """(fraction of pixels within tol on all channels, mean abs error)."""
+    from crt_tpu.io.ppm import quantize
+
+    render = quantize(np.asarray(render, np.float32)) / 255.0
+    diff = np.abs(render - golden)
+    frac = float(np.mean(np.all(diff <= tol, axis=-1)))
+    return frac, float(diff.mean())
