@@ -145,33 +145,49 @@ def hit_attributes(scene, origins, dirs, hit: Hit) -> HitAttributes:
     )
 
 
-def _hadamard(albedo, color, head_compat: bool):
-    """albedo (*) color — with the reference operator* typo under head_compat
+def _hadamard(albedo, color, hadamard_y: bool):
+    """albedo (*) color — with the reference operator* typo when hadamard_y
     (crt_vector.h:77: y component gets an extra albedo.y factor)."""
     out = albedo * color
-    if head_compat:
+    if hadamard_y:
         out = out.at[..., 1].multiply(albedo[..., 1])
     return out
 
 
-def _occlusion_mask(trace_fn, point, normal, light_pos, shadow_bias, head_compat):
-    """is_illuminated per ray for one light (crt_renderer.cpp:81-96).
+def _occlusion_masks(trace_fn, point, normal, light_positions, shadow_bias,
+                     no_shadows, shadow_active):
+    """is_illuminated per (light, ray) — all lights in ONE batched trace.
 
-    Correct-behavior shadow occlusion: closest hit along the shadow ray with
-    hit_dist^2 > light_dist^2 meaning unoccluded.  Under head_compat every
-    surface is lit (the HEAD helper never traces, crt_renderer.cpp:32-33).
-    Discrete visibility — stop-gradient by construction (the mask is boolean).
+    Mirrors crt_renderer.cpp:81-96 semantics: closest hit along the shadow
+    ray with hit_dist^2 > light_dist^2 meaning unoccluded.  Under
+    compat_no_shadows every surface is lit (the HEAD helper never traces,
+    crt_renderer.cpp:32-33).  Discrete visibility — stop-gradient by
+    construction (the mask is boolean).
+
+    The reference traces one shadow ray per light sequentially; here the
+    Ll lights' wavefronts are stacked into a single [Ll*R] trace so the
+    intersection backend launches once (per-light batches stay
+    tile-contiguous because R is a tile multiple).
+
+    Returns (illuminated [Ll, R] bool, light_dir [Ll, R, 3], r2 [Ll, R]).
     """
-    light_vec = light_pos - point
+    Ll = light_positions.shape[0]
+    light_vec = light_positions[:, None, :] - point[None]  # [Ll, R, 3]
     r2 = vecmath.length_squared(light_vec)
     light_dir = vecmath.safe_normalize(light_vec)
-    if head_compat:
-        return jnp.ones(point.shape[:-1], bool), light_dir, r2
+    if no_shadows:
+        return jnp.ones(r2.shape, bool), light_dir, r2
 
-    shadow_o = point + normal * shadow_bias
-    sh = trace_fn(shadow_o, light_dir)
-    sh_t = jax.lax.stop_gradient(sh.t)
-    illuminated = ~sh.valid | (sh_t * sh_t > jax.lax.stop_gradient(r2))
+    shadow_o = jnp.broadcast_to(
+        point + normal * shadow_bias, light_vec.shape
+    )
+    act = jnp.broadcast_to(shadow_active[None], r2.shape)
+    sh = trace_fn(
+        shadow_o.reshape(-1, 3), light_dir.reshape(-1, 3), act.reshape(-1)
+    )
+    sh_t = jax.lax.stop_gradient(sh.t).reshape(r2.shape)
+    sh_valid = sh.valid.reshape(r2.shape)
+    illuminated = ~sh_valid | (sh_t * sh_t > jax.lax.stop_gradient(r2))
     return illuminated, light_dir, r2
 
 
@@ -212,7 +228,7 @@ def _shade_level(scene, settings, trace_fn, origins, dirs, depth, rng, active):
     if depth > settings.max_ray_depth:  # crt_renderer.cpp:47-48
         return black, rng
 
-    hit = trace_fn(origins, dirs)
+    hit = trace_fn(origins, dirs, active)
     attrs = hit_attributes(scene, origins, dirs, hit)
 
     if not scene.has_materials:
@@ -312,23 +328,23 @@ def _shade_level(scene, settings, trace_fn, origins, dirs, depth, rng, active):
             )
             diffuse_color = diffuse_color + gi_color
 
-    for li in range(scene.num_lights):
-        light_pos = scene.light_position[li]
-        illuminated, light_dir, r2 = _occlusion_mask(
-            trace_fn, point, normal, light_pos,
-            settings.shadow_bias, settings.head_compat,
-        )
-        cos_law = jnp.maximum(0.0, vecmath.dot(light_dir, normal))
+    if scene.num_lights > 0:
+        illuminated, light_dir, r2 = _occlusion_masks(
+            trace_fn, point, normal, scene.light_position,
+            settings.shadow_bias, settings.no_shadows,
+            shadow_active=active & is_diffuse,
+        )  # [Ll, R](, 3)
+        cos_law = jnp.maximum(0.0, vecmath.dot(light_dir, normal[None]))
         sphere_area = 4.0 * _PI * r2
         contrib = (
-            albedo
-            * (scene.light_intensity[li] / sphere_area * cos_law)[..., None]
-        )
-        diffuse_color = diffuse_color + jnp.where(
-            illuminated[..., None], contrib, 0.0
+            albedo[None]
+            * (scene.light_intensity[:, None] / sphere_area * cos_law)[..., None]
+        )  # [Ll, R, 3]
+        diffuse_color = diffuse_color + jnp.sum(
+            jnp.where(illuminated[..., None], contrib, 0.0), axis=0
         )
 
-    if settings.head_compat:
+    if settings.gi_divide:
         # HEAD quirk: unconditional divide (crt_renderer.cpp:98).
         diffuse_color = diffuse_color / (settings.diffuse_reflection_ray_count + 1)
     elif scene.gi_on:
@@ -336,7 +352,7 @@ def _shade_level(scene, settings, trace_fn, origins, dirs, depth, rng, active):
 
     # ---- reflective --------------------------------------------------------
     if want_reflect_for_reflective:
-        reflective_color = _hadamard(albedo, refl_color, settings.head_compat)
+        reflective_color = _hadamard(albedo, refl_color, settings.hadamard_y)
     else:
         reflective_color = albedo  # reflections_on == false (:106)
 

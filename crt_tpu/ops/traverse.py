@@ -113,15 +113,23 @@ def _leaf_intersect(tri: TriangleGather, leaf_tri_ids, o, d, best_t, best_tri):
     )
 
 
-def closest_hit_tree(accel, tri: TriangleGather, origins, dirs) -> Hit:
-    """Wavefront KD traversal -> Hit for any leading batch shape."""
+def closest_hit_tree(accel, tri: TriangleGather, origins, dirs,
+                     active=None) -> Hit:
+    """Wavefront KD traversal -> Hit for any leading batch shape.
+
+    ``active`` lanes start with the root pushed; inactive lanes start with
+    an empty stack and fall out of the lockstep loop immediately.
+    """
     batch_shape = origins.shape[:-1]
     o = origins.reshape(-1, 3)
     d = dirs.reshape(-1, 3)
     R = o.shape[0]
 
     stack0 = jnp.zeros((R, STACK_SIZE), jnp.int32)
-    sp0 = jnp.ones((R,), jnp.int32)  # root pre-pushed
+    if active is None:
+        sp0 = jnp.ones((R,), jnp.int32)  # root pre-pushed
+    else:
+        sp0 = jnp.asarray(active, bool).reshape(-1).astype(jnp.int32)
     best_t0 = jnp.full((R,), jnp.inf, jnp.float32)
     best_tri0 = jnp.full((R,), -1, jnp.int32)
     rows = jnp.arange(R)
@@ -184,7 +192,7 @@ def make_tree_trace_fn(scene):
         scene.mat_backface[scene.tri_material],
     )
 
-    def trace(o, d):
-        return closest_hit_tree(scene.accel, tri, o, d)
+    def trace(o, d, active=None):
+        return closest_hit_tree(scene.accel, tri, o, d, active)
 
     return trace

@@ -41,7 +41,12 @@ def make_trace_fn(scene: Scene, settings: RenderSettings):
             scene.tri_vidx,
             scene.mat_backface[scene.tri_material],
         )
-        return functools.partial(intersect_ops.closest_hit_bruteforce, tri)
+
+        def trace(origins, dirs, active=None):
+            del active  # dense all-pairs compute; masking cannot skip work
+            return intersect_ops.closest_hit_bruteforce(tri, origins, dirs)
+
+        return trace
     if backend == "tree":
         from crt_tpu.ops.traverse import make_tree_trace_fn
 
@@ -53,23 +58,48 @@ def make_trace_fn(scene: Scene, settings: RenderSettings):
     raise ValueError(f"unknown intersection backend: {backend!r}")
 
 
+# Wavefront pixel-tile shape: rays are ordered in TILE_H x TILE_W pixel
+# blocks (not scanlines) so that each consecutive run of TILE_H*TILE_W rays
+# is spatially coherent — the Pallas trace kernel bins per such run and
+# coherent tiles give tight frustums.  8x32 divides 1080x1920 exactly.
+TILE_H = 8
+TILE_W = 32
+
+
 def _render_flat(scene: Scene, settings: RenderSettings) -> jnp.ndarray:
     h, w = scene.height, scene.width
+    hp = -(-h // TILE_H) * TILE_H
+    wp = -(-w // TILE_W) * TILE_W
+
+    raster_y, raster_x = jnp.meshgrid(
+        jnp.arange(hp, dtype=jnp.float32),
+        jnp.arange(wp, dtype=jnp.float32),
+        indexing="ij",
+    )
+
+    def tile(x):
+        """[hp, wp, ...] -> tiled flat [hp*wp, ...]."""
+        trailing = x.shape[2:]
+        x = x.reshape(hp // TILE_H, TILE_H, wp // TILE_W, TILE_W, *trailing)
+        x = jnp.moveaxis(x, 1, 2)
+        return x.reshape(hp * wp, *trailing)
+
+    def untile(x):
+        trailing = x.shape[1:]
+        x = x.reshape(hp // TILE_H, wp // TILE_W, TILE_H, TILE_W, *trailing)
+        x = jnp.moveaxis(x, 2, 1)
+        return x.reshape(hp, wp, *trailing)
+
     origins, dirs = camera_ops.generate_rays(
         scene.cam_position,
         scene.cam_rotation,
         scene.cam_tan_half_fov,
         w,
         h,
+        tile(raster_x),
+        tile(raster_y),
     )
-    origins = origins.reshape(-1, 3)
-    dirs = dirs.reshape(-1, 3)
 
-    raster_y, raster_x = jnp.meshgrid(
-        jnp.arange(h, dtype=jnp.uint32),
-        jnp.arange(w, dtype=jnp.uint32),
-        indexing="ij",
-    )
     trace_fn = make_trace_fn(scene, settings)
     color = shade_wavefront(
         scene,
@@ -77,10 +107,10 @@ def _render_flat(scene: Scene, settings: RenderSettings) -> jnp.ndarray:
         trace_fn,
         origins,
         dirs,
-        raster_x.reshape(-1),
-        raster_y.reshape(-1),
+        tile(raster_x).astype(jnp.uint32),
+        tile(raster_y).astype(jnp.uint32),
     )
-    return color.reshape(h, w, 3)
+    return untile(color)[:h, :w]
 
 
 @jax.jit

@@ -193,6 +193,9 @@ _SETTINGS_FIELDS = (
     "diffuse_reflection_bias",
     "refraction_bias",
     "head_compat",
+    "compat_no_shadows",
+    "compat_gi_divide",
+    "compat_hadamard_y",
     "backend",
 )
 
@@ -205,12 +208,21 @@ class RenderSettings:
     bound loop unrolling, and the biases are compile-time constants exactly as
     in the reference.
 
-    ``head_compat`` reproduces two behavioral quirks of the surveyed reference
-    HEAD (see SURVEY.md §3.2): (a) shadow occlusion is dead code so every
-    surface is lit, and (b) diffuse color is divided by
-    ``diffuse_reflection_ray_count + 1`` even when GI is off
-    (crt_renderer.cpp:32-33, :98).  The default (False) implements the
-    *intended* behavior that the committed golden renders reflect.
+    Compat quirks.  The reference accumulated three behavioral bugs over the
+    course (SURVEY.md §3.2), each present in a different subset of the
+    committed golden renders:
+
+      - ``compat_no_shadows``: shadow occlusion dead code — every surface lit
+        (crt_renderer.cpp:32-33; empirically present in the 13-01/14-01
+        goldens, absent in 09-*/11-*/12-* goldens)
+      - ``compat_gi_divide``: diffuse color divided by
+        ``diffuse_reflection_ray_count + 1`` even with GI off
+        (crt_renderer.cpp:98)
+      - ``compat_hadamard_y``: the Hadamard operator* typo (albedo.y is
+        squared) in reflective shading (crt_vector.h:77)
+
+    ``head_compat=True`` switches all three on, replicating the surveyed
+    HEAD exactly.  The default (all off) implements the intended behavior.
 
     ``backend`` selects the intersection engine:
       - "auto":  tree kernel when the scene has an AccelTree, else brute force
@@ -226,7 +238,22 @@ class RenderSettings:
     diffuse_reflection_bias: float = DEFAULT_DIFFUSE_REFLECTION_BIAS
     refraction_bias: float = DEFAULT_REFRACTION_BIAS
     head_compat: bool = False
+    compat_no_shadows: bool = False
+    compat_gi_divide: bool = False
+    compat_hadamard_y: bool = False
     backend: str = "auto"
+
+    @property
+    def no_shadows(self) -> bool:
+        return self.head_compat or self.compat_no_shadows
+
+    @property
+    def gi_divide(self) -> bool:
+        return self.head_compat or self.compat_gi_divide
+
+    @property
+    def hadamard_y(self) -> bool:
+        return self.head_compat or self.compat_hadamard_y
 
     def replace(self, **kw) -> "RenderSettings":
         return dataclasses.replace(self, **kw)

@@ -15,37 +15,42 @@ import numpy as np
 GOLDEN_PNG = pathlib.Path("/root/reference/results/png")
 SCENES = pathlib.Path("/root/reference/scenes")
 
-# (scene relpath, golden name) for every scene loadable at reference HEAD.
+# (scene relpath, golden name, settings overrides) for every scene loadable
+# at reference HEAD.  The overrides replicate the bug subset empirically
+# present in each golden (the course tags accumulated quirks over time —
+# e.g. shadow occlusion broke between the 12-01 and 13-01 tags; verified by
+# float64 oracle at disputed pixels: the 14-01 golden equals the unshadowed
+# shading value exactly).
 HEAD_GOLDEN_CASES = [
-    ("09-01-barycentric-coordinates/scene1.crtscene", "09-01-barycentric-coordinates-scene1"),
-    ("09-02-diffuse-smooth-shading/scene2.crtscene", "09-02-diffuse-smooth-shading-scene2"),
-    ("09-02-diffuse-smooth-shading/scene3.crtscene", "09-02-diffuse-smooth-shading-scene3"),
-    ("09-03-reflective/scene4.crtscene", "09-03-reflective-scene4"),
-    ("09-03-reflective/scene5.crtscene", "09-03-reflective-scene5"),
-    ("11-01-refractive/scene0.crtscene", "11-01-refractive-scene0"),
-    ("11-01-refractive/scene1.crtscene", "11-01-refractive-scene1"),
-    ("11-01-refractive/scene2.crtscene", "11-01-refractive-scene2"),
-    ("11-01-refractive/scene3.crtscene", "11-01-refractive-scene3"),
-    ("11-01-refractive/scene4.crtscene", "11-01-refractive-scene4"),
-    ("11-01-refractive/scene5.crtscene", "11-01-refractive-scene5"),
-    ("11-01-refractive/scene6.crtscene", "11-01-refractive-scene6"),
-    ("11-01-refractive/scene7.crtscene", "11-01-refractive-scene7"),
-    ("11-01-refractive/scene8.crtscene", "11-01-refractive-scene8"),
-    ("12-01-textures/scene0.crtscene", "12-01-textures-scene0"),
-    ("12-01-textures/scene1.crtscene", "12-01-textures-scene1"),
-    ("12-01-textures/scene2.crtscene", "12-01-textures-scene2"),
-    ("12-01-textures/scene3.crtscene", "12-01-textures-scene3"),
-    ("12-01-textures/scene4.crtscene", "12-01-textures-scene4"),
-    ("13-01-optimizations/scene0.crtscene", "13-01-optimizations"),
-    ("14-01-acceleration-tree/scene0.crtscene", "14-01-acceleration-tree-scene0"),
-    ("14-01-acceleration-tree/scene1.crtscene", "14-01-acceleration-tree-scene1"),
-    ("15-01-conclusion/scene2.crtscene", "15-01-conclusion"),
+    ("09-01-barycentric-coordinates/scene1.crtscene", "09-01-barycentric-coordinates-scene1", {}),
+    ("09-02-diffuse-smooth-shading/scene2.crtscene", "09-02-diffuse-smooth-shading-scene2", {}),
+    ("09-02-diffuse-smooth-shading/scene3.crtscene", "09-02-diffuse-smooth-shading-scene3", {}),
+    ("09-03-reflective/scene4.crtscene", "09-03-reflective-scene4", {"compat_hadamard_y": True}),
+    ("09-03-reflective/scene5.crtscene", "09-03-reflective-scene5", {"compat_hadamard_y": True}),
+    ("11-01-refractive/scene0.crtscene", "11-01-refractive-scene0", {}),
+    ("11-01-refractive/scene1.crtscene", "11-01-refractive-scene1", {}),
+    ("11-01-refractive/scene2.crtscene", "11-01-refractive-scene2", {}),
+    ("11-01-refractive/scene3.crtscene", "11-01-refractive-scene3", {}),
+    ("11-01-refractive/scene4.crtscene", "11-01-refractive-scene4", {}),
+    ("11-01-refractive/scene5.crtscene", "11-01-refractive-scene5", {}),
+    ("11-01-refractive/scene6.crtscene", "11-01-refractive-scene6", {}),
+    ("11-01-refractive/scene7.crtscene", "11-01-refractive-scene7", {}),
+    ("11-01-refractive/scene8.crtscene", "11-01-refractive-scene8", {}),
+    ("12-01-textures/scene0.crtscene", "12-01-textures-scene0", {}),
+    ("12-01-textures/scene1.crtscene", "12-01-textures-scene1", {}),
+    ("12-01-textures/scene2.crtscene", "12-01-textures-scene2", {}),
+    ("12-01-textures/scene3.crtscene", "12-01-textures-scene3", {}),
+    ("12-01-textures/scene4.crtscene", "12-01-textures-scene4", {}),
+    ("13-01-optimizations/scene0.crtscene", "13-01-optimizations", {"compat_no_shadows": True}),
+    ("14-01-acceleration-tree/scene0.crtscene", "14-01-acceleration-tree-scene0", {"compat_no_shadows": True}),
+    ("14-01-acceleration-tree/scene1.crtscene", "14-01-acceleration-tree-scene1", {"compat_no_shadows": True}),
+    ("15-01-conclusion/scene2.crtscene", "15-01-conclusion", {"compat_no_shadows": True, "compat_hadamard_y": True}),
 ]
 
 # Legacy scenes that HEAD's loader rejects but we load in lenient mode.
 LEGACY_GOLDEN_CASES = [
-    ("07-01-scene/scene0.crtscene", "07-01-scene-scene0"),
-    ("07-01-scene/scene2.crtscene", "07-01-scene-scene2"),
+    ("07-01-scene/scene0.crtscene", "07-01-scene-scene0", {}),
+    ("07-01-scene/scene2.crtscene", "07-01-scene-scene2", {}),
 ]
 
 

@@ -1,0 +1,30 @@
+"""Build the native helper library: g++ -O3 -shared -> libcrt_accel.so."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+SRC = os.path.join(HERE, "crt_accel.cpp")
+OUT = os.path.join(HERE, "libcrt_accel.so")
+
+
+def build(force: bool = False) -> str:
+    if (
+        not force
+        and os.path.exists(OUT)
+        and os.path.getmtime(OUT) >= os.path.getmtime(SRC)
+    ):
+        return OUT
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        SRC, "-o", OUT,
+    ]
+    subprocess.run(cmd, check=True)
+    return OUT
+
+
+if __name__ == "__main__":
+    print(build(force="--force" in sys.argv))

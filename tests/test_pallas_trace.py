@@ -1,0 +1,116 @@
+"""Pallas tile-binning kernel (interpret mode on CPU) vs brute force."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from crt_tpu import RenderSettings, render_image
+from crt_tpu.ops import intersect
+from crt_tpu.ops.pallas_trace import (
+    bin_rays,
+    build_cluster_tables,
+    make_pallas_trace_fn,
+)
+from crt_tpu.scene.procedural import make_test_scene
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return make_test_scene(width=64, height=40, num_quads=12,
+                           with_reflective=False)
+
+
+def test_binning_covers_bruteforce_hits(scene):
+    """Every ray's true hit cluster must be in its tile's compacted list."""
+    from crt_tpu.ops import camera as camera_ops
+
+    tables = build_cluster_tables(scene)
+    o, d = camera_ops.generate_rays(
+        scene.cam_position, scene.cam_rotation, scene.cam_tan_half_fov,
+        scene.width, scene.height,
+    )
+    from crt_tpu.ops.pallas_trace import TILE_RAYS
+
+    o = np.asarray(o.reshape(-1, 3))
+    d = np.asarray(d.reshape(-1, 3))
+    R = (len(o) // TILE_RAYS) * TILE_RAYS
+    o, d = o[:R], d[:R]
+
+    leaf_list, counts = jax.jit(bin_rays)(tables, jnp.asarray(o), jnp.asarray(d))
+    leaf_list, counts = np.asarray(leaf_list)[:, 0], np.asarray(counts)
+
+    # reference: exact per-ray slab test against each cluster AABB
+    lmin = np.asarray(tables.cl_min)
+    lmax = np.asarray(tables.cl_max)
+    inv = 1.0 / np.where(np.abs(d) > 1e-30, d, 1e-30)
+    t1 = (lmin[None, :] - o[:, None]) * inv[:, None]
+    t2 = (lmax[None, :] - o[:, None]) * inv[:, None]
+    tnear = np.minimum(t1, t2).max(-1)
+    tfar = np.maximum(t1, t2).min(-1)
+    ray_hits = tfar >= np.maximum(tnear, 0)  # [R, L]
+
+    tiles = R // TILE_RAYS
+    for ti in range(tiles):
+        needed = set(
+            np.nonzero(ray_hits[ti * TILE_RAYS : (ti + 1) * TILE_RAYS].any(0))[0]
+        )
+        got = set(leaf_list[ti, : counts[ti]].tolist())
+        assert needed <= got, f"tile {ti}: missing leaves {needed - got}"
+
+
+def test_pallas_interpret_matches_bruteforce(scene):
+    from crt_tpu.ops import camera as camera_ops
+
+    o, d = camera_ops.generate_rays(
+        scene.cam_position, scene.cam_rotation, scene.cam_tan_half_fov,
+        scene.width, scene.height,
+    )
+    o = o.reshape(-1, 3)
+    d = d.reshape(-1, 3)
+
+    td = intersect.build_triangle_data(
+        scene.vertices, scene.tri_vidx,
+        scene.mat_backface[scene.tri_material],
+    )
+    brute = intersect.closest_hit_bruteforce(td, o, d)
+
+    trace = make_pallas_trace_fn(scene, interpret=True)
+    ph = trace(o, d)
+
+    bt, bi = np.asarray(brute.t), np.asarray(brute.tri)
+    pt, pi = np.asarray(ph.t), np.asarray(ph.tri)
+    assert ((bi < 0) == (pi < 0)).all()
+    hits = bi >= 0
+    np.testing.assert_allclose(pt[hits], bt[hits], rtol=1e-5, atol=1e-6)
+    # Disagreeing ids are exact-distance ties (shared-edge hits) where the
+    # reference's first-wins rule depends on traversal order; verify ties.
+    dis = hits & (pi != bi)
+    assert dis.mean() < 0.005
+    np.testing.assert_allclose(pt[dis], bt[dis], rtol=1e-6, atol=1e-7)
+
+
+def test_full_render_pallas_interpret(scene):
+    brute = np.asarray(render_image(scene, RenderSettings(backend="bruteforce")))
+    import crt_tpu.ops.pallas_trace as ptr
+    import crt_tpu.renderer as renderer
+
+    # monkeypatch-free: use backend="pallas" with interpret via env? Simplest:
+    # construct trace fn directly and call shade path through render with a
+    # patched factory.
+    orig = renderer.make_trace_fn
+
+    def patched(scn, settings):
+        if settings.backend == "pallas":
+            return ptr.make_pallas_trace_fn(scn, interpret=True)
+        return orig(scn, settings)
+
+    renderer.make_trace_fn = patched
+    try:
+        pal = np.asarray(
+            render_image(scene, RenderSettings(backend="pallas"), jit=False)
+        )
+    finally:
+        renderer.make_trace_fn = orig
+
+    np.testing.assert_allclose(pal, brute, rtol=1e-5, atol=1e-6)

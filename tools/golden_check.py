@@ -26,12 +26,12 @@ def main(argv):
         cases = [c for c in cases if any(f in c[0] for f in filters)]
 
     results = []
-    for rel, name in cases:
+    for rel, name, overrides in cases:
         path = golden.SCENES / rel
         t0 = time.time()
         try:
             scene = load_scene(str(path))
-            img = np.asarray(render_image(scene, RenderSettings()))
+            img = np.asarray(render_image(scene, RenderSettings(**overrides)))
             frac, mae = golden.match_stats(img, golden.load_golden(name))
             dt = time.time() - t0
             print(f"{name}: frac={frac:.4f} mae={mae:.5f} t={dt:.1f}s", flush=True)
