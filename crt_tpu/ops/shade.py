@@ -76,19 +76,69 @@ class HitAttributes(NamedTuple):
     ior: jnp.ndarray  # [R] f32
 
 
+from crt_tpu.scene.types import TEXTURE_BITMAP, TEXTURE_CHECKER, TEXTURE_EDGES
+
+
+def _needs_uv(scene) -> bool:
+    """uv interpolation feeds only checker and bitmap sampling
+    (crt_texture.cpp:24-45)."""
+    return (
+        TEXTURE_CHECKER in scene.texture_types_present
+        or TEXTURE_BITMAP in scene.texture_types_present
+    )
+
+
+def _needs_bary(scene) -> bool:
+    """barycentrics feed smooth normals, uv interpolation and the edges
+    texture (crt_intersection.cpp:73-79, crt_texture.cpp:14-22)."""
+    return (
+        scene.any_smooth
+        or _needs_uv(scene)
+        or TEXTURE_EDGES in scene.texture_types_present
+    )
+
+
 def hit_attributes(scene, origins, dirs, hit: Hit) -> HitAttributes:
     """Recompute intersection attributes exactly as crt_intersection.cpp:60-88.
 
     ``hit.tri`` is treated as a constant (discrete choice); everything else
     differentiates through the scene arrays.
+
+    HBM note: all per-triangle data is gathered through ONE packed [T, K]
+    table (one contiguous row per hit) rather than 9+ scattered vertex
+    gathers — random-access bytes are the cost on TPU, not FLOPs.  Columns
+    the scene statically cannot need (no smooth materials / no uv textures)
+    are never packed or interpolated.
     """
     tri = jnp.maximum(jax.lax.stop_gradient(hit.tri), 0)
     valid = jax.lax.stop_gradient(hit.tri) >= 0
 
-    idx = scene.tri_vidx[tri]  # [R, 3]
-    v0 = scene.vertices[idx[..., 0]]
-    v1 = scene.vertices[idx[..., 1]]
-    v2 = scene.vertices[idx[..., 2]]
+    need_uv = _needs_uv(scene)
+    need_bary = _needs_bary(scene)
+
+    idx = scene.tri_vidx  # [T, 3]
+    cols = [
+        scene.vertices[idx[:, 0]],
+        scene.vertices[idx[:, 1]],
+        scene.vertices[idx[:, 2]],
+    ]
+    if scene.any_smooth:
+        cols += [
+            scene.vertex_normals[idx[:, 0]],
+            scene.vertex_normals[idx[:, 1]],
+            scene.vertex_normals[idx[:, 2]],
+        ]
+    if need_uv:
+        cols += [
+            scene.vertex_uvs[idx[:, 0]],
+            scene.vertex_uvs[idx[:, 1]],
+            scene.vertex_uvs[idx[:, 2]],
+        ]
+    packed = jnp.concatenate(cols, axis=-1)  # [T, K]
+
+    rows = packed[tri]  # [R, K] — the one big gather
+    v0, v1, v2 = rows[..., 0:3], rows[..., 3:6], rows[..., 6:9]
+    off = 9
 
     face_n = vecmath.safe_normalize(vecmath.cross(v1 - v0, v2 - v0))
 
@@ -98,39 +148,50 @@ def hit_attributes(scene, origins, dirs, hit: Hit) -> HitAttributes:
     t = jnp.where(valid, t, 0.0)
     point = origins + dirs * t[..., None]
 
-    # Barycentrics from cross-product magnitudes (crt_intersection.cpp:71-74).
-    v0p = point - v0
-    v0v1 = v1 - v0
-    v0v2 = v2 - v0
-    denom = vecmath.length(vecmath.cross(v0v1, v0v2))
-    denom = jnp.where(denom > 0, denom, 1.0)
-    bary_u = vecmath.length(vecmath.cross(v0p, v0v2)) / denom
-    bary_v = vecmath.length(vecmath.cross(v0v1, v0p)) / denom
+    if need_bary:
+        # Barycentrics from cross-product magnitudes
+        # (crt_intersection.cpp:71-74).
+        v0p = point - v0
+        v0v1 = v1 - v0
+        v0v2 = v2 - v0
+        denom = vecmath.length(vecmath.cross(v0v1, v0v2))
+        denom = jnp.where(denom > 0, denom, 1.0)
+        bary_u = vecmath.length(vecmath.cross(v0p, v0v2)) / denom
+        bary_v = vecmath.length(vecmath.cross(v0v1, v0p)) / denom
+    else:
+        bary_u = jnp.zeros(t.shape, jnp.float32)
+        bary_v = jnp.zeros(t.shape, jnp.float32)
 
-    n0 = scene.vertex_normals[idx[..., 0]]
-    n1 = scene.vertex_normals[idx[..., 1]]
-    n2 = scene.vertex_normals[idx[..., 2]]
-    # NOTE: the reference does NOT renormalize the interpolated normal
-    # (crt_intersection.cpp:76) — preserved here.
-    smooth_n = (
-        n1 * bary_u[..., None]
-        + n2 * bary_v[..., None]
-        + n0 * (1.0 - bary_u - bary_v)[..., None]
-    )
+    normal = face_n
+    if scene.any_smooth:
+        n0 = rows[..., off : off + 3]
+        n1 = rows[..., off + 3 : off + 6]
+        n2 = rows[..., off + 6 : off + 9]
+        off += 9
+        # NOTE: the reference does NOT renormalize the interpolated normal
+        # (crt_intersection.cpp:76) — preserved here.
+        smooth_n = (
+            n1 * bary_u[..., None]
+            + n2 * bary_v[..., None]
+            + n0 * (1.0 - bary_u - bary_v)[..., None]
+        )
+        mat_pre = scene.tri_material[tri]
+        smooth_flag = scene.mat_smooth[mat_pre]
+        normal = jnp.where(smooth_flag[..., None], smooth_n, face_n)
 
-    uv0 = scene.vertex_uvs[idx[..., 0]]
-    uv1 = scene.vertex_uvs[idx[..., 1]]
-    uv2 = scene.vertex_uvs[idx[..., 2]]
-    uv = (
-        uv1 * bary_u[..., None]
-        + uv2 * bary_v[..., None]
-        + uv0 * (1.0 - bary_u - bary_v)[..., None]
-    )
+    if need_uv:
+        uv0 = rows[..., off : off + 3]
+        uv1 = rows[..., off + 3 : off + 6]
+        uv2 = rows[..., off + 6 : off + 9]
+        uv = (
+            uv1 * bary_u[..., None]
+            + uv2 * bary_v[..., None]
+            + uv0 * (1.0 - bary_u - bary_v)[..., None]
+        )
+    else:
+        uv = jnp.zeros(t.shape + (3,), jnp.float32)
 
     mat = scene.tri_material[tri]
-    smooth_flag = scene.mat_smooth[mat]
-    normal = jnp.where(smooth_flag[..., None], smooth_n, face_n)
-
     return HitAttributes(
         valid=valid,
         t=t,

@@ -54,46 +54,56 @@ def sample_textures(
     bary_u: jnp.ndarray,  # [R]
     bary_v: jnp.ndarray,  # [R]
 ) -> jnp.ndarray:
-    """Sample per-ray albedo colors -> [R, 3]."""
+    """Sample per-ray albedo colors -> [R, 3].
+
+    Texture types absent from the scene (static ``texture_types_present``)
+    compile to nothing — a flat-albedo scene is a single gather.
+    """
+    present = set(scene.texture_types_present)
     safe_idx = jnp.maximum(tex_idx, 0)
     ttype = scene.tex_type[safe_idx]  # [R]
     color_a = scene.tex_color_a[safe_idx]  # [R, 3]
+    if present <= {TEXTURE_ALBEDO}:
+        return color_a
+
     color_b = scene.tex_color_b[safe_idx]  # [R, 3]
     scalar = scene.tex_scalar[safe_idx]  # [R]
-
     u, v = uv[..., 0], uv[..., 1]
 
-    # -- edges (crt_texture.cpp:14-22)
-    on_edge = (
-        (bary_u <= scalar) | (bary_v <= scalar) | ((1.0 - bary_u - bary_v) <= scalar)
-    )
-    edges_color = jnp.where(on_edge[..., None], color_a, color_b)
+    conds, choices = [], []
 
-    # -- checker (crt_texture.cpp:24-36)
-    safe_scalar = jnp.where(scalar != 0.0, scalar, 1.0)  # guard non-checker lanes
-    row = _c_trunc(u / safe_scalar)
-    col = _c_trunc(v / safe_scalar)
-    odd = ((row + col) & 1).astype(bool)
-    checker_color = jnp.where(odd[..., None], color_b, color_a)
+    if TEXTURE_EDGES in present:
+        # crt_texture.cpp:14-22
+        on_edge = (
+            (bary_u <= scalar)
+            | (bary_v <= scalar)
+            | ((1.0 - bary_u - bary_v) <= scalar)
+        )
+        edges_color = jnp.where(on_edge[..., None], color_a, color_b)
+        conds.append((ttype == TEXTURE_EDGES)[..., None])
+        choices.append(edges_color)
 
-    # -- bitmap (crt_texture.cpp:38-45)
-    if scene.bitmap_data.shape[0] > 0:
+    if TEXTURE_CHECKER in present:
+        # crt_texture.cpp:24-36
+        safe_scalar = jnp.where(scalar != 0.0, scalar, 1.0)
+        row = _c_trunc(u / safe_scalar)
+        col = _c_trunc(v / safe_scalar)
+        odd = ((row + col) & 1).astype(bool)
+        checker_color = jnp.where(odd[..., None], color_b, color_a)
+        conds.append((ttype == TEXTURE_CHECKER)[..., None])
+        choices.append(checker_color)
+
+    if TEXTURE_BITMAP in present and scene.bitmap_data.shape[0] > 0:
+        # crt_texture.cpp:38-45
         b = jnp.maximum(scene.tex_bitmap[safe_idx], 0)  # [R]
         h = scene.bitmap_size[b, 0]
         w = scene.bitmap_size[b, 1]
         x = _c_mod(_c_trunc(u * w.astype(jnp.float32)), w)
         y = _c_mod(_c_trunc((1.0 - v) * h.astype(jnp.float32)), h)
         bitmap_color = scene.bitmap_data[b, y, x]
-    else:
-        bitmap_color = color_a
+        conds.append((ttype == TEXTURE_BITMAP)[..., None])
+        choices.append(bitmap_color)
 
-    return jnp.select(
-        [
-            (ttype == TEXTURE_ALBEDO)[..., None],
-            (ttype == TEXTURE_EDGES)[..., None],
-            (ttype == TEXTURE_CHECKER)[..., None],
-            (ttype == TEXTURE_BITMAP)[..., None],
-        ],
-        [color_a, edges_color, checker_color, bitmap_color],
-        default=color_a,
-    )
+    if not conds:
+        return color_a
+    return jnp.select(conds, choices, default=color_a)

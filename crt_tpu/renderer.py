@@ -28,12 +28,23 @@ def make_trace_fn(scene: Scene, settings: RenderSettings):
     hit *indices* are discrete; the differentiable path recomputes attributes
     in crt_tpu.ops.shade.hit_attributes.
     """
+    if scene.num_triangles == 0:
+        def empty_trace(origins, dirs, active=None):
+            shape = origins.shape[:-1]
+            return intersect_ops.Hit(
+                t=jnp.full(shape, jnp.inf, jnp.float32),
+                tri=jnp.full(shape, -1, jnp.int32),
+            )
+
+        return empty_trace
+
     backend = settings.backend
     if backend == "auto":
-        # Brute force is the fastest known-good backend for course-scale
-        # scenes (<= 4k triangles); the Pallas tile-binning kernel takes over
-        # on TPU once benchmarked faster (see bench.py).
-        backend = "bruteforce"
+        # The Pallas cluster-streaming kernel is the TPU fast path (bench:
+        # ~50x faster than brute force on the 14-01 scene); plain XLA brute
+        # force everywhere else (CPU tests, interpret-less platforms).
+        backend = "pallas" if jax.default_backend() in ("tpu", "axon") \
+            else "bruteforce"
 
     if backend == "bruteforce":
         tri = intersect_ops.build_triangle_data(

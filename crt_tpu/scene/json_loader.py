@@ -415,5 +415,6 @@ def scene_from_dict(
         has_constant=3 in present,
         has_materials=not legacy,
         has_lights=len(light_intensity) > 0,
+        any_smooth=bool(any(mats["smooth"])),
         texture_types_present=tuple(sorted(set(int(t) for t in tex_type))),
     )

@@ -103,6 +103,7 @@ _SCENE_META = (
     "has_constant",
     "has_materials",
     "has_lights",
+    "any_smooth",
     "texture_types_present",
 )
 
@@ -166,6 +167,7 @@ class Scene:
     has_constant: bool = False
     has_materials: bool = True
     has_lights: bool = True
+    any_smooth: bool = False
     texture_types_present: tuple = ()
 
     # -- convenience ---------------------------------------------------------
