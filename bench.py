@@ -32,6 +32,9 @@ def _timed(fn):
 
 
 def main():
+    from crt_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     import jax
 
     from crt_tpu import RenderSettings, load_scene, render_image

@@ -24,6 +24,9 @@ from crt_tpu.scene.types import RenderSettings
 
 
 def main(argv=None):
+    from crt_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     p = argparse.ArgumentParser(
         prog="crt-render", description="TPU-native CRT ray tracer"
     )

@@ -98,7 +98,8 @@ def _needs_bary(scene) -> bool:
     )
 
 
-def hit_attributes(scene, origins, dirs, hit: Hit) -> HitAttributes:
+def hit_attributes(scene, origins, dirs, hit: Hit,
+                   force_all: bool = False) -> HitAttributes:
     """Recompute intersection attributes exactly as crt_intersection.cpp:60-88.
 
     ``hit.tri`` is treated as a constant (discrete choice); everything else
@@ -113,8 +114,9 @@ def hit_attributes(scene, origins, dirs, hit: Hit) -> HitAttributes:
     tri = jnp.maximum(jax.lax.stop_gradient(hit.tri), 0)
     valid = jax.lax.stop_gradient(hit.tri) >= 0
 
-    need_uv = _needs_uv(scene)
-    need_bary = _needs_bary(scene)
+    need_uv = _needs_uv(scene) or force_all
+    need_bary = _needs_bary(scene) or force_all
+    any_smooth = scene.any_smooth or force_all
 
     idx = scene.tri_vidx  # [T, 3]
     cols = [
@@ -122,7 +124,7 @@ def hit_attributes(scene, origins, dirs, hit: Hit) -> HitAttributes:
         scene.vertices[idx[:, 1]],
         scene.vertices[idx[:, 2]],
     ]
-    if scene.any_smooth:
+    if any_smooth:
         cols += [
             scene.vertex_normals[idx[:, 0]],
             scene.vertex_normals[idx[:, 1]],
@@ -134,10 +136,18 @@ def hit_attributes(scene, origins, dirs, hit: Hit) -> HitAttributes:
             scene.vertex_uvs[idx[:, 1]],
             scene.vertex_uvs[idx[:, 2]],
         ]
-    packed = jnp.concatenate(cols, axis=-1)  # [T, K]
+    # Transposed layout [K, T] so the gather output is [K, R]: XLA pads the
+    # minor dim to 128 lanes, so gathering [R, K] rows would pad K=9..27 up
+    # to 128 (a 5-14x HBM blowup, fatal for deep unrolled recursion); [K, R]
+    # pads only K sublanes (<= 1.4x).
+    packed = jnp.concatenate(cols, axis=-1).T  # [K, T]
 
-    rows = packed[tri]  # [R, K] — the one big gather
-    v0, v1, v2 = rows[..., 0:3], rows[..., 3:6], rows[..., 6:9]
+    rows = packed[:, tri]  # [K, R] — the one big gather
+
+    def col3(o):
+        return jnp.moveaxis(rows[o : o + 3], 0, -1)  # [R, 3]
+
+    v0, v1, v2 = col3(0), col3(3), col3(6)
     off = 9
 
     face_n = vecmath.safe_normalize(vecmath.cross(v1 - v0, v2 - v0))
@@ -163,10 +173,8 @@ def hit_attributes(scene, origins, dirs, hit: Hit) -> HitAttributes:
         bary_v = jnp.zeros(t.shape, jnp.float32)
 
     normal = face_n
-    if scene.any_smooth:
-        n0 = rows[..., off : off + 3]
-        n1 = rows[..., off + 3 : off + 6]
-        n2 = rows[..., off + 6 : off + 9]
+    if any_smooth:
+        n0, n1, n2 = col3(off), col3(off + 3), col3(off + 6)
         off += 9
         # NOTE: the reference does NOT renormalize the interpolated normal
         # (crt_intersection.cpp:76) — preserved here.
@@ -180,9 +188,7 @@ def hit_attributes(scene, origins, dirs, hit: Hit) -> HitAttributes:
         normal = jnp.where(smooth_flag[..., None], smooth_n, face_n)
 
     if need_uv:
-        uv0 = rows[..., off : off + 3]
-        uv1 = rows[..., off + 3 : off + 6]
-        uv2 = rows[..., off + 6 : off + 9]
+        uv0, uv1, uv2 = col3(off), col3(off + 3), col3(off + 6)
         uv = (
             uv1 * bary_u[..., None]
             + uv2 * bary_v[..., None]
@@ -215,8 +221,9 @@ def _hadamard(albedo, color, hadamard_y: bool):
     return out
 
 
-def _occlusion_masks(trace_fn, point, normal, light_positions, shadow_bias,
-                     no_shadows, shadow_active):
+def _occlusion_masks(scene, trace_fn, point, normal, light_positions,
+                     shadow_bias, no_shadows, shadow_active,
+                     max_ray_depth=3, refraction_bias=1e-2):
     """is_illuminated per (light, ray) — all lights in ONE batched trace.
 
     Mirrors crt_renderer.cpp:81-96 semantics: closest hit along the shadow
@@ -241,15 +248,65 @@ def _occlusion_masks(trace_fn, point, normal, light_positions, shadow_bias,
 
     shadow_o = jnp.broadcast_to(
         point + normal * shadow_bias, light_vec.shape
-    )
-    act = jnp.broadcast_to(shadow_active[None], r2.shape)
-    sh = trace_fn(
-        shadow_o.reshape(-1, 3), light_dir.reshape(-1, 3), act.reshape(-1)
-    )
-    sh_t = jax.lax.stop_gradient(sh.t).reshape(r2.shape)
-    sh_valid = sh.valid.reshape(r2.shape)
-    illuminated = ~sh_valid | (sh_t * sh_t > jax.lax.stop_gradient(r2))
-    return illuminated, light_dir, r2
+    ).reshape(-1, 3)
+    act = jnp.broadcast_to(shadow_active[None], r2.shape).reshape(-1)
+    d = light_dir.reshape(-1, 3)
+    r2_flat = jax.lax.stop_gradient(r2).reshape(-1)
+
+    if not (scene.has_refractive and scene.refractions_on):
+        sh = trace_fn(shadow_o, d, act)
+        sh_t = jax.lax.stop_gradient(sh.t)
+        occluded = sh.valid & (sh_t * sh_t <= r2_flat)
+        return ~occluded.reshape(r2.shape), light_dir, r2
+
+    # Transmissive shadows: the reference *intends* shadow rays to refract
+    # through refractive volumes and continue (trace_ray_with_refractions,
+    # crt_renderer.cpp:29-44 — dead at HEAD via the has_refracted=false init,
+    # but live at the 11-01 course tags whose goldens show light through
+    # glass).  Faithful wavefront version: re-trace after Snell-bending at
+    # each refractive hit, up to max_ray_depth bends; TIR or a
+    # non-refractive hit terminates; the LAST hit's distance (along the last
+    # bent segment) is compared against the original light distance, as the
+    # reference does.
+    o = shadow_o
+    alive = act  # rays still marching through glass
+    last_valid = jnp.zeros(act.shape, bool)
+    last_t = jnp.zeros(act.shape, jnp.float32)
+
+    for _ in range(max_ray_depth + 1):
+        sh = trace_fn(o, d, alive)
+        sh_t = jax.lax.stop_gradient(sh.t)
+        tri = jnp.maximum(jax.lax.stop_gradient(sh.tri), 0)
+        hit_valid = sh.valid & alive
+
+        last_valid = jnp.where(alive, sh.valid, last_valid)
+        last_t = jnp.where(alive, jnp.where(sh.valid, sh_t, 0.0), last_t)
+
+        mat = scene.tri_material[tri]
+        is_refr = hit_valid & (scene.mat_type[mat] == MATERIAL_REFRACTIVE)
+
+        # Geometric normal at the hit (face normal suffices for marching).
+        idx = scene.tri_vidx[tri]
+        verts = jax.lax.stop_gradient(scene.vertices)
+        v0, v1, v2 = verts[idx[..., 0]], verts[idx[..., 1]], verts[idx[..., 2]]
+        face_n = vecmath.safe_normalize(vecmath.cross(v1 - v0, v2 - v0))
+
+        d_dot_n = vecmath.dot(d, face_n)
+        exiting = d_dot_n > 0.0
+        n_eff = jnp.where(exiting[..., None], -face_n, face_n)
+        ior = scene.mat_ior[mat]
+        outside_ior = jnp.where(exiting, ior, 1.0)
+        inside_ior = jnp.where(exiting, 1.0, ior)
+        new_d, ok = vecmath.refract(d, n_eff, outside_ior, inside_ior)
+
+        hit_point = o + d * sh_t[..., None]
+        cont = is_refr & ok  # TIR stops (occluded by the glass surface)
+        o = jnp.where(cont[..., None], hit_point - n_eff * refraction_bias, o)
+        d = jnp.where(cont[..., None], new_d, d)
+        alive = cont
+
+    occluded = last_valid & (last_t * last_t <= r2_flat)
+    return ~occluded.reshape(r2.shape), light_dir, r2
 
 
 def shade_wavefront(
@@ -391,9 +448,11 @@ def _shade_level(scene, settings, trace_fn, origins, dirs, depth, rng, active):
 
     if scene.num_lights > 0:
         illuminated, light_dir, r2 = _occlusion_masks(
-            trace_fn, point, normal, scene.light_position,
+            scene, trace_fn, point, normal, scene.light_position,
             settings.shadow_bias, settings.no_shadows,
             shadow_active=active & is_diffuse,
+            max_ray_depth=settings.max_ray_depth,
+            refraction_bias=settings.refraction_bias,
         )  # [Ll, R](, 3)
         cos_law = jnp.maximum(0.0, vecmath.dot(light_dir, normal[None]))
         sphere_area = 4.0 * _PI * r2

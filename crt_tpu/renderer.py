@@ -110,17 +110,41 @@ def _render_flat(scene: Scene, settings: RenderSettings) -> jnp.ndarray:
         tile(raster_x),
         tile(raster_y),
     )
+    rx = tile(raster_x).astype(jnp.uint32)
+    ry = tile(raster_y).astype(jnp.uint32)
 
     trace_fn = make_trace_fn(scene, settings)
-    color = shade_wavefront(
-        scene,
-        settings,
-        trace_fn,
-        origins,
-        dirs,
-        tile(raster_x).astype(jnp.uint32),
-        tile(raster_y).astype(jnp.uint32),
-    )
+
+    R = hp * wp
+    tile_sz = TILE_H * TILE_W
+    chunk = settings.chunk_pixels
+    if chunk and chunk < R:
+        chunk = max(tile_sz, (chunk // tile_sz) * tile_sz)
+        pad = (-R) % chunk
+        if pad:
+            origins = jnp.concatenate([origins, origins[:pad]])
+            dirs = jnp.concatenate([dirs, dirs[:pad]])
+            rx = jnp.concatenate([rx, rx[:pad]])
+            ry = jnp.concatenate([ry, ry[:pad]])
+        n_chunks = (R + pad) // chunk
+
+        def one_chunk(args):
+            o, d, x, y = args
+            return shade_wavefront(scene, settings, trace_fn, o, d, x, y)
+
+        color = jax.lax.map(
+            one_chunk,
+            (
+                origins.reshape(n_chunks, chunk, 3),
+                dirs.reshape(n_chunks, chunk, 3),
+                rx.reshape(n_chunks, chunk),
+                ry.reshape(n_chunks, chunk),
+            ),
+        ).reshape(-1, 3)[:R]
+    else:
+        color = shade_wavefront(
+            scene, settings, trace_fn, origins, dirs, rx, ry
+        )
     return untile(color)[:h, :w]
 
 
@@ -143,3 +167,67 @@ def render_image(
 ) -> jnp.ndarray:
     """Alias of render_image_hwc — the ``crt::render_image`` equivalent."""
     return render_image_hwc(scene, settings, jit=jit)
+
+
+def _render_aov_flat(scene: Scene, settings: RenderSettings, aov: str):
+    from crt_tpu.ops.shade import hit_attributes
+    from crt_tpu.ops.texture import sample_textures
+
+    h, w = scene.height, scene.width
+    origins, dirs = camera_ops.generate_rays(
+        scene.cam_position, scene.cam_rotation, scene.cam_tan_half_fov, w, h
+    )
+    origins = origins.reshape(-1, 3)
+    dirs = dirs.reshape(-1, 3)
+    trace_fn = make_trace_fn(scene, settings)
+    hit = trace_fn(origins, dirs, None)
+    attrs = hit_attributes(scene, origins, dirs, hit, force_all=True)
+    miss = ~attrs.valid[..., None]
+
+    if aov == "bary":
+        # Barycentric visualization — the 09-01 course-task render:
+        # color = (bary_u, bary_v, 0) on hit, background on miss.
+        out = jnp.stack(
+            [attrs.bary_u, attrs.bary_v, jnp.zeros_like(attrs.bary_u)], -1
+        )
+    elif aov == "normal":
+        out = attrs.normal * 0.5 + 0.5
+    elif aov == "depth":
+        out = jnp.repeat(attrs.t[..., None], 3, axis=-1)
+    elif aov == "tri_id":
+        tid = jax.lax.stop_gradient(hit.tri).astype(jnp.float32)
+        out = jnp.stack(
+            [tid % 256.0 / 255.0, (tid // 256.0) % 256.0 / 255.0,
+             jnp.zeros_like(tid)], -1,
+        )
+    elif aov == "albedo":
+        out = sample_textures(
+            scene, attrs.albedo_tex, attrs.uv, attrs.bary_u, attrs.bary_v
+        )
+    else:
+        raise ValueError(f"unknown aov {aov!r}")
+
+    out = jnp.where(miss, scene.background_color, out)
+    return out.reshape(h, w, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("aov",))
+def _render_aov_jit(scene, settings, aov):
+    return _render_aov_flat(scene, settings, aov)
+
+
+def render_aov(
+    scene: Scene,
+    settings: RenderSettings | None = None,
+    aov: str = "bary",
+    jit: bool = True,
+) -> jnp.ndarray:
+    """Render an auxiliary output (AOV / debug pass) from primary hits.
+
+    Available: "bary" (the 09-01 course visualization), "normal", "depth",
+    "tri_id", "albedo".
+    """
+    settings = settings or RenderSettings()
+    if jit:
+        return _render_aov_jit(scene, settings, aov)
+    return _render_aov_flat(scene, settings, aov)

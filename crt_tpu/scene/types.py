@@ -199,6 +199,7 @@ _SETTINGS_FIELDS = (
     "compat_gi_divide",
     "compat_hadamard_y",
     "backend",
+    "chunk_pixels",
 )
 
 
@@ -244,6 +245,11 @@ class RenderSettings:
     compat_gi_divide: bool = False
     compat_hadamard_y: bool = False
     backend: str = "auto"
+    # Render the wavefront in sequential chunks of ~this many pixels
+    # (0 = whole frame at once).  The TPU bucket renderer: bounds peak HBM
+    # for deep recursion (GI) the way the reference's bucket queue bounded
+    # nothing but cache footprint (crt_renderer.cpp:157-199).
+    chunk_pixels: int = 0
 
     @property
     def no_shadows(self) -> bool:

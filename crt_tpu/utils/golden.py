@@ -22,20 +22,22 @@ SCENES = pathlib.Path("/root/reference/scenes")
 # float64 oracle at disputed pixels: the 14-01 golden equals the unshadowed
 # shading value exactly).
 HEAD_GOLDEN_CASES = [
-    ("09-01-barycentric-coordinates/scene1.crtscene", "09-01-barycentric-coordinates-scene1", {}),
+    # The 09-01 golden is the course's barycentric visualization pass:
+    # color = (bary_u, bary_v, 0) — rendered via the "bary" AOV.
+    ("09-01-barycentric-coordinates/scene1.crtscene", "09-01-barycentric-coordinates-scene1", {"aov": "bary"}),
     ("09-02-diffuse-smooth-shading/scene2.crtscene", "09-02-diffuse-smooth-shading-scene2", {}),
     ("09-02-diffuse-smooth-shading/scene3.crtscene", "09-02-diffuse-smooth-shading-scene3", {}),
     ("09-03-reflective/scene4.crtscene", "09-03-reflective-scene4", {"compat_hadamard_y": True}),
     ("09-03-reflective/scene5.crtscene", "09-03-reflective-scene5", {"compat_hadamard_y": True}),
-    ("11-01-refractive/scene0.crtscene", "11-01-refractive-scene0", {}),
-    ("11-01-refractive/scene1.crtscene", "11-01-refractive-scene1", {}),
-    ("11-01-refractive/scene2.crtscene", "11-01-refractive-scene2", {}),
-    ("11-01-refractive/scene3.crtscene", "11-01-refractive-scene3", {}),
-    ("11-01-refractive/scene4.crtscene", "11-01-refractive-scene4", {}),
-    ("11-01-refractive/scene5.crtscene", "11-01-refractive-scene5", {}),
-    ("11-01-refractive/scene6.crtscene", "11-01-refractive-scene6", {}),
-    ("11-01-refractive/scene7.crtscene", "11-01-refractive-scene7", {}),
-    ("11-01-refractive/scene8.crtscene", "11-01-refractive-scene8", {}),
+    ("11-01-refractive/scene0.crtscene", "11-01-refractive-scene0", {"compat_no_shadows": True}),
+    ("11-01-refractive/scene1.crtscene", "11-01-refractive-scene1", {"compat_no_shadows": True}),
+    ("11-01-refractive/scene2.crtscene", "11-01-refractive-scene2", {"compat_no_shadows": True}),
+    ("11-01-refractive/scene3.crtscene", "11-01-refractive-scene3", {"compat_no_shadows": True}),
+    ("11-01-refractive/scene4.crtscene", "11-01-refractive-scene4", {"compat_no_shadows": True}),
+    ("11-01-refractive/scene5.crtscene", "11-01-refractive-scene5", {"compat_no_shadows": True}),
+    ("11-01-refractive/scene6.crtscene", "11-01-refractive-scene6", {"compat_no_shadows": True}),
+    ("11-01-refractive/scene7.crtscene", "11-01-refractive-scene7", {"compat_no_shadows": True}),
+    ("11-01-refractive/scene8.crtscene", "11-01-refractive-scene8", {"compat_no_shadows": True}),
     ("12-01-textures/scene0.crtscene", "12-01-textures-scene0", {}),
     ("12-01-textures/scene1.crtscene", "12-01-textures-scene1", {}),
     ("12-01-textures/scene2.crtscene", "12-01-textures-scene2", {}),
@@ -44,7 +46,9 @@ HEAD_GOLDEN_CASES = [
     ("13-01-optimizations/scene0.crtscene", "13-01-optimizations", {"compat_no_shadows": True}),
     ("14-01-acceleration-tree/scene0.crtscene", "14-01-acceleration-tree-scene0", {"compat_no_shadows": True}),
     ("14-01-acceleration-tree/scene1.crtscene", "14-01-acceleration-tree-scene1", {"compat_no_shadows": True}),
-    ("15-01-conclusion/scene2.crtscene", "15-01-conclusion", {"compat_no_shadows": True, "compat_hadamard_y": True}),
+    # GI scene: 6-way unrolled recursion — render in ~250k-pixel chunks to
+    # bound HBM.
+    ("15-01-conclusion/scene2.crtscene", "15-01-conclusion", {"compat_no_shadows": True, "compat_hadamard_y": True, "chunk_pixels": 1920 * 136}),
 ]
 
 # Legacy scenes that HEAD's loader rejects but we load in lenient mode.

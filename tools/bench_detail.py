@@ -78,6 +78,9 @@ def bench_backend(scene, backend: str, reps: int = 10, grad: bool = False):
 
 
 def main(argv):
+    from crt_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     scene_path = argv[0] if argv and argv[0].endswith(".crtscene") else DEFAULT_SCENE
     backends = [a for a in argv if not a.endswith(".crtscene")] or [
         "bruteforce", "pallas", "tree"

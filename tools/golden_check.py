@@ -20,6 +20,9 @@ from crt_tpu.utils import golden
 
 
 def main(argv):
+    from crt_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     filters = [a for a in argv if not a.startswith("-")]
     cases = golden.LEGACY_GOLDEN_CASES + golden.HEAD_GOLDEN_CASES
     if filters:
@@ -30,8 +33,17 @@ def main(argv):
         path = golden.SCENES / rel
         t0 = time.time()
         try:
+            overrides = dict(overrides)
+            aov = overrides.pop("aov", None)
             scene = load_scene(str(path))
-            img = np.asarray(render_image(scene, RenderSettings(**overrides)))
+            if aov:
+                from crt_tpu.renderer import render_aov
+
+                img = np.asarray(
+                    render_aov(scene, RenderSettings(**overrides), aov=aov)
+                )
+            else:
+                img = np.asarray(render_image(scene, RenderSettings(**overrides)))
             frac, mae = golden.match_stats(img, golden.load_golden(name))
             dt = time.time() - t0
             print(f"{name}: frac={frac:.4f} mae={mae:.5f} t={dt:.1f}s", flush=True)
