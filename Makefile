@@ -1,0 +1,32 @@
+# Convenience targets mirroring the reference build entries
+# (reference Makefile: standalone | python | blender | clean).
+
+PYTHON ?= python
+
+.PHONY: all native test bench golden blender-zip clean
+
+all: native
+
+# native helper library (KD builder) — the "standalone core" build
+native:
+	$(PYTHON) native/build.py
+
+test:
+	$(PYTHON) -m pytest tests/ -x -q
+
+bench: native
+	$(PYTHON) bench.py
+
+golden: native
+	$(PYTHON) tools/golden_check.py
+
+# stage the Blender add-on as an installable zip
+blender-zip:
+	rm -f crt_tpu_blender.zip
+	$(PYTHON) -c "import shutil; shutil.make_archive('crt_tpu_blender', 'zip', 'crt_tpu/frontend', 'blender')"
+	@echo wrote crt_tpu_blender.zip
+
+clean:
+	rm -f native/libcrt_accel.so crt_tpu_blender.zip
+	rm -rf .jax_cache results_tpu
+	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null || true

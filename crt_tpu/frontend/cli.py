@@ -24,6 +24,13 @@ from crt_tpu.scene.types import RenderSettings
 
 
 def main(argv=None):
+    import os
+
+    if os.environ.get("CRT_TPU_FORCE_CPU"):
+        # The environment may preregister a TPU backend at interpreter start;
+        # env vars alone cannot override it post-registration.
+        jax.config.update("jax_platforms", "cpu")
+
     from crt_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 

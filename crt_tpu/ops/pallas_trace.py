@@ -54,7 +54,9 @@ from jax.experimental.pallas import tpu as pltpu
 from crt_tpu.ops import vecmath
 from crt_tpu.ops.intersect import PARALLEL_EPS, Hit
 
-TILE_RAYS = 256
+# Tuned on the 14-01 benchmark scene (v5e): 32x32-pixel tiles (1024 rays)
+# amortize per-program overhead best; clusters of 16 triangles tie with 32.
+TILE_RAYS = 1024
 CLUSTER_SIZE = 16
 
 
@@ -95,7 +97,8 @@ def morton_order(centroids: jnp.ndarray) -> jnp.ndarray:
     return jnp.argsort(code).astype(jnp.int32)
 
 
-def build_cluster_tables(scene, cluster_size: int = CLUSTER_SIZE) -> ClusterTables:
+def build_cluster_tables(scene, cluster_size: int | None = None) -> ClusterTables:
+    cluster_size = cluster_size or CLUSTER_SIZE
     """Morton-cluster the scene's triangles and precompute test constants."""
     vertices = jax.lax.stop_gradient(scene.vertices)
     tvi = scene.tri_vidx
@@ -187,8 +190,9 @@ def _frustum_box_mask(o_lo, o_hi, d_lo, d_hi, bmin, bmax):
     return jnp.max(t_ent, axis=-1) <= jnp.min(t_ext, axis=-1)
 
 
-def bin_rays(tables: ClusterTables, origins, dirs, tile_rays: int = TILE_RAYS,
+def bin_rays(tables: ClusterTables, origins, dirs, tile_rays: int | None = None,
              active=None):
+    tile_rays = tile_rays or TILE_RAYS
     """Phase A.  origins/dirs: [R, 3] with R % tile_rays == 0.
 
     ``active`` ([R] bool or None) restricts the frustum to lanes whose hit
@@ -376,8 +380,9 @@ def closest_hit_pallas_flat(
     return Hit(t=best_t.reshape(-1), tri=best_tri.reshape(-1))
 
 
-def make_pallas_trace_fn(scene, tile_rays: int = TILE_RAYS,
+def make_pallas_trace_fn(scene, tile_rays: int | None = None,
                          interpret: bool = False):
+    tile_rays = tile_rays or TILE_RAYS
     """trace_fn factory for the Pallas backend."""
     tables = build_cluster_tables(scene)
     tables = jax.tree.map(jax.lax.stop_gradient, tables)

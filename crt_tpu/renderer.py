@@ -72,8 +72,9 @@ def make_trace_fn(scene: Scene, settings: RenderSettings):
 # Wavefront pixel-tile shape: rays are ordered in TILE_H x TILE_W pixel
 # blocks (not scanlines) so that each consecutive run of TILE_H*TILE_W rays
 # is spatially coherent — the Pallas trace kernel bins per such run and
-# coherent tiles give tight frustums.  8x32 divides 1080x1920 exactly.
-TILE_H = 8
+# coherent tiles give tight frustums.  32x32 tuned best on v5e (TILE_H *
+# TILE_W must equal pallas_trace.TILE_RAYS).
+TILE_H = 32
 TILE_W = 32
 
 
