@@ -249,7 +249,10 @@ def _occlusion_masks(scene, trace_fn, point, normal, light_positions,
     shadow_o = jnp.broadcast_to(
         point + normal * shadow_bias, light_vec.shape
     ).reshape(-1, 3)
-    act = jnp.broadcast_to(shadow_active[None], r2.shape).reshape(-1)
+    # Lanes facing away from the light contribute zero regardless of
+    # occlusion (cos_law clamps to 0) — drop them from the binning mask.
+    facing = vecmath.dot(light_dir, jnp.broadcast_to(normal[None], light_vec.shape)) > 0.0
+    act = (shadow_active[None] & jax.lax.stop_gradient(facing)).reshape(-1)
     d = light_dir.reshape(-1, 3)
     r2_flat = jax.lax.stop_gradient(r2).reshape(-1)
 

@@ -82,9 +82,9 @@ def main(argv):
     enable_compilation_cache()
 
     scene_path = argv[0] if argv and argv[0].endswith(".crtscene") else DEFAULT_SCENE
-    backends = [a for a in argv if not a.endswith(".crtscene")] or [
-        "bruteforce", "pallas", "tree"
-    ]
+    backends = [
+        a for a in argv if not a.endswith(".crtscene") and not a.startswith("-")
+    ] or ["bruteforce", "pallas", "tree"]
     scene = load_scene(scene_path)
     npix = scene.width * scene.height
     print(f"scene: {scene_path}  {scene.num_triangles} tris  "
