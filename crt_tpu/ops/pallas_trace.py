@@ -98,8 +98,12 @@ def morton_order(centroids: jnp.ndarray) -> jnp.ndarray:
 
 
 def build_cluster_tables(scene, cluster_size: int | None = None) -> ClusterTables:
+    """Morton-cluster the scene's triangles and precompute test constants.
+
+    ``cluster_size`` defaults to the module-level CLUSTER_SIZE at call time
+    (tunable).
+    """
     cluster_size = cluster_size or CLUSTER_SIZE
-    """Morton-cluster the scene's triangles and precompute test constants."""
     vertices = jax.lax.stop_gradient(scene.vertices)
     tvi = scene.tri_vidx
     backface = scene.mat_backface[scene.tri_material]
@@ -192,7 +196,6 @@ def _frustum_box_mask(o_lo, o_hi, d_lo, d_hi, bmin, bmax):
 
 def bin_rays(tables: ClusterTables, origins, dirs, tile_rays: int | None = None,
              active=None):
-    tile_rays = tile_rays or TILE_RAYS
     """Phase A.  origins/dirs: [R, 3] with R % tile_rays == 0.
 
     ``active`` ([R] bool or None) restricts the frustum to lanes whose hit
@@ -204,6 +207,7 @@ def bin_rays(tables: ClusterTables, origins, dirs, tile_rays: int | None = None,
 
     Returns (cluster_list [tiles, 1, L] i32, counts [tiles] i32).
     """
+    tile_rays = tile_rays or TILE_RAYS
     tiles = origins.shape[0] // tile_rays
     o = origins.reshape(tiles, tile_rays, 3)
     d = dirs.reshape(tiles, tile_rays, 3)
@@ -382,8 +386,8 @@ def closest_hit_pallas_flat(
 
 def make_pallas_trace_fn(scene, tile_rays: int | None = None,
                          interpret: bool = False):
-    tile_rays = tile_rays or TILE_RAYS
     """trace_fn factory for the Pallas backend."""
+    tile_rays = tile_rays or TILE_RAYS
     tables = build_cluster_tables(scene)
     tables = jax.tree.map(jax.lax.stop_gradient, tables)
 
