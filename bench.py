@@ -37,7 +37,7 @@ def main():
 
     import jax
 
-    from crt_tpu import RenderSettings, load_scene, render_image
+    from crt_tpu import RenderSettings, load_scene
     from crt_tpu.scene.procedural import make_test_scene
 
     if os.path.exists(SCENE):

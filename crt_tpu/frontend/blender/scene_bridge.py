@@ -18,7 +18,7 @@ import math
 try:
     import bpy
     import bmesh
-    from mathutils import Matrix, Vector
+    from mathutils import Matrix
 except ImportError:  # pragma: no cover - outside Blender
     bpy = None
 

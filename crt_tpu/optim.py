@@ -11,14 +11,14 @@ checkpoint/resume).
 from __future__ import annotations
 
 import functools
-from typing import Callable, Iterable, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import PartitionSpec as P
 
-from crt_tpu.parallel.sharded import default_trainable_params, make_mesh
+from crt_tpu.parallel.sharded import default_trainable_params
 from crt_tpu.renderer import _render_flat
 from crt_tpu.scene.types import RenderSettings, Scene
 

@@ -18,11 +18,9 @@ Two entry points:
 from __future__ import annotations
 
 import functools
-from typing import Any, Sequence
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from crt_tpu.ops import camera as camera_ops
 from crt_tpu.ops.shade import shade_wavefront

@@ -33,7 +33,7 @@ from __future__ import annotations
 import json
 import math
 import os
-from typing import Any, Optional
+from typing import Any
 
 import numpy as np
 import jax.numpy as jnp
@@ -44,7 +44,6 @@ from crt_tpu.scene.types import (
     MATERIAL_REFRACTIVE,
     MATERIAL_TYPE_NAMES,
     TEXTURE_ALBEDO,
-    TEXTURE_BITMAP,
     TEXTURE_TYPE_NAMES,
     Scene,
 )

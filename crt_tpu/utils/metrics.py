@@ -13,7 +13,7 @@ per-kernel timing when a TensorBoard-compatible dump is wanted.
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import numpy as np

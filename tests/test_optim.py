@@ -2,7 +2,6 @@
 
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
 from crt_tpu import RenderSettings, render_image
 from crt_tpu.optim import fit_scene

@@ -4,7 +4,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
-from jax.sharding import Mesh
 
 from crt_tpu import RenderSettings, render_image
 from crt_tpu.parallel.sharded import (
