@@ -24,7 +24,7 @@ from crt_tpu.scene.json_loader import (
     scene_from_dict,
     scene_from_json,
 )
-from crt_tpu.renderer import render_image, render_image_hwc
+from crt_tpu.renderer import render_aov, render_image, render_image_hwc
 
 __version__ = "0.1.0"
 
@@ -37,4 +37,5 @@ __all__ = [
     "scene_from_json",
     "render_image",
     "render_image_hwc",
+    "render_aov",
 ]
