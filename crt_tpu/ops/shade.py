@@ -419,17 +419,21 @@ def _shade_level(scene, settings, trace_fn, origins, dirs, depth, rng, active):
     diffuse_color = black
     if scene.gi_on:
         gi_active = active & is_diffuse
-        for _ in range(settings.diffuse_reflection_ray_count):
-            # Local basis from (ray, normal) — crt_renderer.cpp:62-66.
-            right = vecmath.safe_normalize(vecmath.cross(dirs, normal))
-            up = normal
-            forward = vecmath.cross(right, up)
-            local_m = vecmath.from_axes(right, up, forward)  # [R, 3, 3]
+        # Local basis from (ray, normal) — crt_renderer.cpp:62-66 (the
+        # reference rebuilds it per sample; it is sample-invariant).
+        right = vecmath.safe_normalize(vecmath.cross(dirs, normal))
+        up = normal
+        forward = vecmath.cross(right, up)
+        local_m = vecmath.from_axes(right, up, forward)  # [R, 3, 3]
+        gi_origin = point + normal * settings.diffuse_reflection_bias
 
+        def one_gi_sample(carry, _):
+            acc, rng = carry
             u1, rng = rng_mod.uniform(rng, gi_active)
             angle_xy = _PI * u1
             gi_dir = jnp.stack(
-                [jnp.cos(angle_xy), jnp.sin(angle_xy), jnp.zeros_like(angle_xy)],
+                [jnp.cos(angle_xy), jnp.sin(angle_xy),
+                 jnp.zeros_like(angle_xy)],
                 axis=-1,
             )
             u2, rng = rng_mod.uniform(rng, gi_active)
@@ -442,12 +446,24 @@ def _shade_level(scene, settings, trace_fn, origins, dirs, depth, rng, active):
             )
             gi_dir = vecmath.rotate_rows(gi_dir, local_m)
 
-            gi_origin = point + normal * settings.diffuse_reflection_bias
             gi_color, rng = _shade_level(
                 scene, settings, trace_fn, gi_origin, gi_dir,
                 depth + 1, rng, gi_active,
             )
-            diffuse_color = diffuse_color + gi_color
+            return (acc + gi_color, rng), None
+
+        K = settings.diffuse_reflection_ray_count
+        if K == 1:
+            (diffuse_color, rng), _ = one_gi_sample((diffuse_color, rng), None)
+        elif K > 1:
+            # lax.scan shares ONE compiled child-recursion program across
+            # samples: graph size drops from (K+2)^depth to 3^depth branches
+            # (the 15-01 GI scene compiles minutes faster; identical output —
+            # the RNG state is the scan carry, preserving the reference's
+            # per-pixel draw order).
+            (diffuse_color, rng), _ = jax.lax.scan(
+                one_gi_sample, (diffuse_color, rng), None, length=K
+            )
 
     if scene.num_lights > 0:
         illuminated, light_dir, r2 = _occlusion_masks(
