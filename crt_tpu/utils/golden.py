@@ -49,15 +49,14 @@ HEAD_GOLDEN_CASES = [
 ]
 
 # Scenes with no committed golden — rendered as smoke tests only.
-# 15-01 scene2: the GI showcase (6-way unrolled recursion; chunked to bound
-# HBM).  Renders successfully on TPU (~15 min compile for the chunked GI
-# graph) but the reference repo has no 15-01 PNG to compare against.
+# 15-01 scene2: the GI showcase.  With scan-based GI sampling it renders
+# whole-frame on one v5e chip (Cornell-box color bleeding verified
+# visually); the reference repo has no 15-01 PNG to compare against.
 SMOKE_CASES = [
     ("15-01-conclusion/scene0.crtscene", None, {}),
     ("15-01-conclusion/scene1.crtscene", None, {"compat_hadamard_y": True}),
     ("15-01-conclusion/scene2.crtscene", None,
-     {"compat_no_shadows": True, "compat_hadamard_y": True,
-      "chunk_pixels": 1920 * 136}),
+     {"compat_no_shadows": True, "compat_hadamard_y": True}),
 ]
 
 # Legacy scenes that HEAD's loader rejects but we load in lenient mode.
