@@ -318,6 +318,142 @@ def _trace_kernel(
     best_tri_ref[0, 0, :] = best_tri[0]
 
 
+def _occlusion_kernel(
+    counts_ref,  # [tiles] SMEM (scalar prefetch)
+    cluster_list_ref,  # [1, 1, L] SMEM
+    o_ref,  # [1, 3, TR] VMEM
+    d_ref,  # [1, 3, TR] VMEM
+    r2_ref,  # [1, 1, TR] VMEM  max hit distance squared (light distance^2)
+    init_occ_ref,  # [1, 1, TR] VMEM i32  1 = lane already resolved (inactive)
+    n_ref, nv0_ref, m_ref, c_ref, nobf_ref, tid_ref,  # cluster tables VMEM
+    occ_ref,  # [1, 1, TR] out i32
+):
+    """Any-hit occlusion: does some triangle block the ray before r2?
+
+    Same plane + half-space test as _trace_kernel but without closest-hit
+    bookkeeping, and the cluster walk EARLY-EXITS once every lane in the
+    tile is resolved — big shadowed regions stop after the first occluding
+    cluster instead of walking the whole list.
+    """
+    del tid_ref
+    tile = pl.program_id(0)
+    count = counts_ref[tile]
+
+    ox, oy, oz = o_ref[0, 0:1, :], o_ref[0, 1:2, :], o_ref[0, 2:3, :]
+    dx, dy, dz = d_ref[0, 0:1, :], d_ref[0, 1:2, :], d_ref[0, 2:3, :]
+    r2 = r2_ref[0, 0:1, :]  # [1, TR]
+
+    # NOTE: the loop carry is int32, not bool — Mosaic cannot legalize
+    # vector<i1> yields in scf.while.
+    def cond(carry):
+        i, occ = carry
+        return (i < count) & jnp.logical_not(jnp.all(occ > 0))
+
+    def body(carry):
+        i, occ = carry
+        cl = cluster_list_ref[0, 0, i]
+
+        n = n_ref[cl]
+        nd = n[:, 0:1] * dx + n[:, 1:2] * dy + n[:, 2:3] * dz
+        no = n[:, 0:1] * ox + n[:, 1:2] * oy + n[:, 2:3] * oz
+        opd = nv0_ref[cl][:, None] - no
+
+        not_parallel = jnp.abs(nd) >= PARALLEL_EPS
+        front = opd < 0.0
+        face_ok = front | (nobf_ref[cl][:, None] > 0.5)
+        t = opd / jnp.where(not_parallel, nd, 1.0)
+        valid = not_parallel & face_ok & (t >= 0.0)
+
+        m = m_ref[cl]
+        c = c_ref[cl]
+        for e in range(3):
+            md = (
+                m[:, 3 * e + 0 : 3 * e + 1] * dx
+                + m[:, 3 * e + 1 : 3 * e + 2] * dy
+                + m[:, 3 * e + 2 : 3 * e + 3] * dz
+            )
+            mo = (
+                m[:, 3 * e + 0 : 3 * e + 1] * ox
+                + m[:, 3 * e + 1 : 3 * e + 2] * oy
+                + m[:, 3 * e + 2 : 3 * e + 3] * oz
+            )
+            valid = valid & ((mo - c[:, e : e + 1]) + t * md >= 0.0)
+
+        blocked = jnp.any(valid & (t * t <= r2), axis=0, keepdims=True)
+        return i + 1, occ | blocked.astype(jnp.int32)
+
+    init_occ = init_occ_ref[0, 0:1, :]
+    _, occ = jax.lax.while_loop(cond, body, (jnp.int32(0), init_occ))
+    occ_ref[0, 0, :] = occ[0]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_rays", "interpret"))
+def occluded_pallas_flat(
+    tables: ClusterTables,
+    origins: jnp.ndarray,  # [R, 3], R % tile_rays == 0
+    dirs: jnp.ndarray,
+    r2: jnp.ndarray,  # [R] max distance squared
+    active=None,  # [R] bool or None
+    tile_rays: int = TILE_RAYS,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Any-hit occlusion query -> [R] bool (True = blocked before sqrt(r2)).
+
+    Inactive lanes return True (their value is never consumed; marking them
+    resolved lets whole tiles early-exit)."""
+    R = origins.shape[0]
+    tiles = R // tile_rays
+    L = tables.n.shape[0]
+
+    cluster_list, counts = bin_rays(tables, origins, dirs, tile_rays, active)
+
+    o_t = origins.reshape(tiles, tile_rays, 3).swapaxes(1, 2)
+    d_t = dirs.reshape(tiles, tile_rays, 3).swapaxes(1, 2)
+    r2_t = r2.reshape(tiles, 1, tile_rays)
+    if active is None:
+        init_occ = jnp.zeros((tiles, 1, tile_rays), jnp.int32)
+    else:
+        init_occ = (~active).reshape(tiles, 1, tile_rays).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1, L), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3, tile_rays), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, tile_rays), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile_rays), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile_rays), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # n
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # nv0
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # m
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # c
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # nobf
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # tid
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, tile_rays), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+
+    (occ,) = pl.pallas_call(
+        _occlusion_kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((tiles, 1, tile_rays), jnp.int32)],
+        interpret=interpret,
+    )(
+        counts, cluster_list, o_t, d_t, r2_t, init_occ,
+        tables.n, tables.nv0, tables.m, tables.c, tables.nobf, tables.tri_id,
+    )
+    return occ.reshape(-1) > 0
+
+
 @functools.partial(jax.jit, static_argnames=("tile_rays", "interpret"))
 def closest_hit_pallas_flat(
     tables: ClusterTables,
@@ -385,8 +521,16 @@ def closest_hit_pallas_flat(
 
 
 def make_pallas_trace_fn(scene, tile_rays: int | None = None,
-                         interpret: bool = False):
-    """trace_fn factory for the Pallas backend."""
+                         interpret: bool = False,
+                         use_occlusion_kernel: bool = False):
+    """trace_fn factory for the Pallas backend.
+
+    ``use_occlusion_kernel`` exposes the any-hit early-exit kernel as
+    ``trace.occluded`` — measured SLOWER on the course benchmark scene (the
+    serial scf.while blocks Mosaic's cluster-load pipelining and lit tiles
+    walk the full list anyway), so it is off by default; scenes with heavy
+    occlusion may profit.
+    """
     tile_rays = tile_rays or TILE_RAYS
     tables = build_cluster_tables(scene)
     tables = jax.tree.map(jax.lax.stop_gradient, tables)
@@ -421,4 +565,41 @@ def make_pallas_trace_fn(scene, tile_rays: int | None = None,
             tri=hit.tri[:R].reshape(batch_shape),
         )
 
+    def occluded(origins, dirs, r2, active=None):
+        """Any-hit occlusion fast path (see shade._occlusion_masks)."""
+        batch_shape = origins.shape[:-1]
+        o = origins.reshape(-1, 3)
+        d = dirs.reshape(-1, 3)
+        rr = r2.reshape(-1)
+        R = o.shape[0]
+        pad = (-R) % tile_rays
+        if pad:
+            o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+            dpad = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]], d.dtype), (pad, 1))
+            d = jnp.concatenate([d, dpad])
+            rr = jnp.concatenate([rr, jnp.zeros((pad,), rr.dtype)])
+        if active is not None:
+            a = active.reshape(-1)
+            if pad:
+                a = jnp.concatenate([a, jnp.zeros((pad,), bool)])
+            a = jax.lax.stop_gradient(a)
+        else:
+            a = jnp.concatenate(
+                [jnp.ones((R,), bool), jnp.zeros((pad,), bool)]
+            ) if pad else None
+        occ = occluded_pallas_flat(
+            tables,
+            jax.lax.stop_gradient(o),
+            jax.lax.stop_gradient(d),
+            jax.lax.stop_gradient(rr),
+            a,
+            tile_rays=tile_rays,
+            interpret=interpret,
+        )
+        return occ[:R].reshape(batch_shape)
+
+    if use_occlusion_kernel:
+        trace.occluded = occluded
+    else:
+        trace.occluded_kernel = occluded  # available, not auto-used
     return trace

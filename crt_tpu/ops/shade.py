@@ -257,9 +257,17 @@ def _occlusion_masks(scene, trace_fn, point, normal, light_positions,
     r2_flat = jax.lax.stop_gradient(r2).reshape(-1)
 
     if not (scene.has_refractive and scene.refractions_on):
-        sh = trace_fn(shadow_o, d, act)
-        sh_t = jax.lax.stop_gradient(sh.t)
-        occluded = sh.valid & (sh_t * sh_t <= r2_flat)
+        occluded_fn = getattr(trace_fn, "occluded", None)
+        if occluded_fn is not None:
+            # Any-hit occlusion kernel: no closest-hit bookkeeping, early
+            # exit per tile once every lane is resolved.  Semantically
+            # identical to the closest-hit comparison below: a closest hit
+            # with t^2 <= r2 exists iff ANY hit with t^2 <= r2 exists.
+            occluded = occluded_fn(shadow_o, d, r2_flat, act)
+        else:
+            sh = trace_fn(shadow_o, d, act)
+            sh_t = jax.lax.stop_gradient(sh.t)
+            occluded = sh.valid & (sh_t * sh_t <= r2_flat)
         return ~occluded.reshape(r2.shape), light_dir, r2
 
     # Transmissive shadows: the reference *intends* shadow rays to refract
