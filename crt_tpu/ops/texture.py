@@ -43,7 +43,7 @@ def _c_mod(a: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
     would read out of bounds there (UB).  We clamp instead — identical for
     the in-range UVs every course scene uses.
     """
-    r = a - (jnp.fix(a / m)).astype(jnp.int32) * m
+    r = a - jnp.trunc(a / m).astype(jnp.int32) * m
     return jnp.clip(r, 0, m - 1)
 
 
