@@ -103,17 +103,19 @@ def render_with_stats(
             rx.astype(jnp.uint32), ry.astype(jnp.uint32),
         )
         t = color.reshape(hp // TILE_H, wp // TILE_W, TILE_H, TILE_W, 3)
-        return jnp.moveaxis(t, 2, 1).reshape(hp, wp, 3)[:h, :w]
+        img = jnp.moveaxis(t, 2, 1).reshape(hp, wp, 3)[:h, :w]
+        # checksum computed in the same program so the timing readback does
+        # not pay a second dispatch round trip
+        return img, jnp.sum(img)
 
     fn = jax.jit(run)
-    img = fn()  # compile (counts collected during trace)
+    img, _ = fn()  # compile (counts collected during trace)
     traces_per_run = stats.num_traces
     rays_per_run = stats.rays_traced
 
     t0 = time.perf_counter()
-    img = fn()
-    # force completion via readback of a reduced value
-    float(img.sum())
+    img, checksum = fn()
+    float(checksum)  # force completion
     stats.wall_seconds = time.perf_counter() - t0
     stats.num_traces = traces_per_run
     stats.rays_traced = rays_per_run
@@ -140,8 +142,23 @@ def binning_stats(scene, settings=None) -> dict:
 
     tables = build_cluster_tables(scene)
     h, w = scene.height, scene.width
+    # Use the renderer's pixel-tile ray ordering — scanline order would
+    # report wildly looser frustums than any real trace sees.
+    hp = -(-h // TILE_H) * TILE_H
+    wp = -(-w // TILE_W) * TILE_W
+    raster_y, raster_x = jnp.meshgrid(
+        jnp.arange(hp, dtype=jnp.float32),
+        jnp.arange(wp, dtype=jnp.float32),
+        indexing="ij",
+    )
+
+    def tile(x):
+        t = x.reshape(hp // TILE_H, TILE_H, wp // TILE_W, TILE_W)
+        return jnp.moveaxis(t, 1, 2).reshape(hp * wp)
+
     origins, dirs = camera_ops.generate_rays(
-        scene.cam_position, scene.cam_rotation, scene.cam_tan_half_fov, w, h
+        scene.cam_position, scene.cam_rotation, scene.cam_tan_half_fov,
+        w, h, tile(raster_x), tile(raster_y),
     )
     o = origins.reshape(-1, 3)
     d = dirs.reshape(-1, 3)
