@@ -20,11 +20,9 @@ bench: native
 golden: native
 	$(PYTHON) tools/golden_check.py
 
-# stage the Blender add-on as an installable zip
+# stage the Blender add-on as an installable zip (bundles crt_tpu)
 blender-zip:
-	rm -f crt_tpu_blender.zip
-	$(PYTHON) -c "import shutil; shutil.make_archive('crt_tpu_blender', 'zip', 'crt_tpu/frontend', 'blender')"
-	@echo wrote crt_tpu_blender.zip
+	$(PYTHON) tools/stage_blender_addon.py
 
 clean:
 	rm -f native/libcrt_accel.so crt_tpu_blender.zip
