@@ -598,6 +598,54 @@ def make_pallas_trace_fn(scene, tile_rays: int | None = None,
         )
         return occ[:R].reshape(batch_shape)
 
+    def trace_reordered(origins, dirs, active=None):
+        """Trace with wavefront compaction: rays sorted by (Morton cell of
+        origin, direction octant) before binning.
+
+        Secondary wavefronts (reflection/refraction bounces) are spatially
+        scrambled in pixel order — their 1024-ray tiles get frustums covering
+        most of the scene, degenerating to brute force.  Sorting restores
+        coherence: tiles hold rays from one cell going one way.  Results are
+        scattered back to the original order, so this is a pure performance
+        transform (identical Hit output).
+        """
+        batch_shape = origins.shape[:-1]
+        o = origins.reshape(-1, 3)
+        d = dirs.reshape(-1, 3)
+        a = None if active is None else active.reshape(-1)
+
+        lo = jax.lax.stop_gradient(tables.cl_min.min(axis=0))
+        hi = jax.lax.stop_gradient(tables.cl_max.max(axis=0))
+        scale = jnp.where(hi > lo, 1023.0 / (hi - lo), 0.0)
+        q = jnp.clip((jax.lax.stop_gradient(o) - lo) * scale, 0, 1023)
+        q = q.astype(jnp.uint32)
+        cell = (
+            _part1by2(q[:, 0])
+            | (_part1by2(q[:, 1]) << 1)
+            | (_part1by2(q[:, 2]) << 2)
+        )
+        dd = jax.lax.stop_gradient(d)
+        octant = (
+            (dd[:, 0] >= 0).astype(jnp.uint32)
+            | ((dd[:, 1] >= 0).astype(jnp.uint32) << 1)
+            | ((dd[:, 2] >= 0).astype(jnp.uint32) << 2)
+        )
+        # inactive rays sort to the back so live tiles stay dense
+        key = (cell << 3) | octant
+        if a is not None:
+            key = jnp.where(a, key, jnp.uint32(0xFFFFFFFF))
+        perm = jnp.argsort(key).astype(jnp.int32)
+
+        hit = trace(
+            o[perm], d[perm], None if a is None else a[perm]
+        )
+        inv = jnp.argsort(perm).astype(jnp.int32)
+        return Hit(
+            t=hit.t[inv].reshape(batch_shape),
+            tri=hit.tri[inv].reshape(batch_shape),
+        )
+
+    trace.reordered = trace_reordered
     if use_occlusion_kernel:
         trace.occluded = occluded
     else:
