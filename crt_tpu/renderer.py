@@ -45,6 +45,11 @@ def make_trace_fn(scene: Scene, settings: RenderSettings):
         # force everywhere else (CPU tests, interpret-less platforms).
         backend = "pallas" if jax.default_backend() in ("tpu", "axon") \
             else "bruteforce"
+        if backend == "pallas" and not _pallas_tables_fit_vmem(scene):
+            # Cluster tables are VMEM-resident; beyond ~200k triangles they
+            # no longer fit (~16 MB/core) — fall back to the while-loop KD
+            # walk, which streams from HBM.
+            backend = "tree" if scene.accel is not None else "bruteforce"
 
     if backend == "bruteforce":
         tri = intersect_ops.build_triangle_data(
@@ -76,6 +81,16 @@ def make_trace_fn(scene: Scene, settings: RenderSettings):
 # TILE_W must equal pallas_trace.TILE_RAYS).
 TILE_H = 32
 TILE_W = 32
+
+
+def _pallas_tables_fit_vmem(scene: Scene, budget_bytes: int = 12 << 20) -> bool:
+    """Cluster constants are 17 f32 per padded triangle slot; leave room for
+    ray planes, outputs and double buffering within ~16 MB of VMEM."""
+    from crt_tpu.ops.pallas_trace import CLUSTER_SIZE
+
+    L = -(-scene.num_triangles // CLUSTER_SIZE)
+    table_bytes = L * CLUSTER_SIZE * 17 * 4
+    return table_bytes <= budget_bytes
 
 
 def _render_flat(scene: Scene, settings: RenderSettings) -> jnp.ndarray:

@@ -87,3 +87,15 @@ def test_gradients_flow_to_all_parameter_groups():
         g = np.asarray(g)
         assert np.isfinite(g).all(), name
         assert np.abs(g).sum() > 0, f"no gradient signal to {name}"
+
+
+def test_pallas_vmem_guard():
+    from crt_tpu.renderer import _pallas_tables_fit_vmem
+
+    small = make_test_scene(width=8, height=8, num_quads=2)
+    assert _pallas_tables_fit_vmem(small)
+
+    # fake a large triangle count via a scene stand-in
+    class Big:
+        num_triangles = 500_000
+    assert not _pallas_tables_fit_vmem(Big())
