@@ -38,20 +38,24 @@ def make_mesh(devices=None, axis_name: str = "rays") -> Mesh:
 
 
 def _render_rows(scene: Scene, settings: RenderSettings, row_start, num_rows: int):
-    """Render ``num_rows`` image rows beginning at traced ``row_start``."""
+    """Render ``num_rows`` image rows beginning at traced ``row_start``.
+
+    Rays are ordered in the same TILE_H x TILE_W pixel blocks as the
+    single-chip renderer so the Pallas binning sees coherent tiles on every
+    shard.
+    """
+    from crt_tpu.renderer import make_tiler
+
     w = scene.width
-    rows = row_start + jnp.arange(num_rows, dtype=jnp.float32)
-    raster_y, raster_x = jnp.meshgrid(
-        rows, jnp.arange(w, dtype=jnp.float32), indexing="ij"
-    )
+    rx, ry, untile = make_tiler(num_rows, w, row_offset=row_start)
     origins, dirs = camera_ops.generate_rays(
         scene.cam_position,
         scene.cam_rotation,
         scene.cam_tan_half_fov,
         scene.width,
         scene.height,
-        raster_x,
-        raster_y,
+        rx,
+        ry,
     )
     trace_fn = make_trace_fn(scene, settings)
     color = shade_wavefront(
@@ -60,10 +64,10 @@ def _render_rows(scene: Scene, settings: RenderSettings, row_start, num_rows: in
         trace_fn,
         origins.reshape(-1, 3),
         dirs.reshape(-1, 3),
-        raster_x.reshape(-1).astype(jnp.uint32),
-        raster_y.reshape(-1).astype(jnp.uint32),
+        rx.astype(jnp.uint32),
+        ry.astype(jnp.uint32),
     )
-    return color.reshape(num_rows, w, 3)
+    return untile(color)
 
 
 def render_image_sharded(

@@ -93,6 +93,36 @@ def _pallas_tables_fit_vmem(scene: Scene, budget_bytes: int = 12 << 20) -> bool:
     return table_bytes <= budget_bytes
 
 
+def make_tiler(h: int, w: int, row_offset=0):
+    """Pixel-tile reordering helpers for an h x w region.
+
+    Returns (raster_x [R], raster_y [R], untile(colors [R,3]) -> [h,w,3])
+    with rays ordered in TILE_H x TILE_W blocks; ``row_offset`` (traced OK)
+    shifts raster_y for sharded row blocks.
+    """
+    hp = -(-h // TILE_H) * TILE_H
+    wp = -(-w // TILE_W) * TILE_W
+    raster_y, raster_x = jnp.meshgrid(
+        jnp.arange(hp, dtype=jnp.float32) + row_offset,
+        jnp.arange(wp, dtype=jnp.float32),
+        indexing="ij",
+    )
+
+    def tile(x):
+        trailing = x.shape[2:]
+        x = x.reshape(hp // TILE_H, TILE_H, wp // TILE_W, TILE_W, *trailing)
+        x = jnp.moveaxis(x, 1, 2)
+        return x.reshape(hp * wp, *trailing)
+
+    def untile(x):
+        trailing = x.shape[1:]
+        x = x.reshape(hp // TILE_H, wp // TILE_W, TILE_H, TILE_W, *trailing)
+        x = jnp.moveaxis(x, 2, 1)
+        return x.reshape(hp, wp, *trailing)[:h, :w]
+
+    return tile(raster_x), tile(raster_y), untile
+
+
 def _render_flat(scene: Scene, settings: RenderSettings) -> jnp.ndarray:
     h, w = scene.height, scene.width
     hp = -(-h // TILE_H) * TILE_H
