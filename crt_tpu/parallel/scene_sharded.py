@@ -133,22 +133,20 @@ def render_image_scene_sharded(
         out_specs=P(rays_axis, None),
     )
     def _shard(scene_rep, row_starts):
-        rows = row_starts[0] + jnp.arange(rows_per, dtype=jnp.float32)
-        raster_y, raster_x = jnp.meshgrid(
-            rows, jnp.arange(w, dtype=jnp.float32), indexing="ij"
-        )
+        from crt_tpu.renderer import make_tiler
+
+        rx, ry, untile = make_tiler(rows_per, w, row_offset=row_starts[0])
         origins, dirs = camera_ops.generate_rays(
             scene_rep.cam_position, scene_rep.cam_rotation,
-            scene_rep.cam_tan_half_fov, w, h, raster_x, raster_y,
+            scene_rep.cam_tan_half_fov, w, h, rx, ry,
         )
         trace_fn = make_scene_sharded_trace_fn(scene_rep, mesh, scene_axis)
         color = shade_wavefront(
             scene_rep, settings, trace_fn,
             origins.reshape(-1, 3), dirs.reshape(-1, 3),
-            raster_x.reshape(-1).astype(jnp.uint32),
-            raster_y.reshape(-1).astype(jnp.uint32),
+            rx.astype(jnp.uint32), ry.astype(jnp.uint32),
         )
-        return color.reshape(rows_per, w, 3)
+        return untile(color)
 
     row_starts = jnp.arange(0, h_pad, rows_per, dtype=jnp.int32)
     img = jax.jit(_shard)(scene, row_starts)
