@@ -125,27 +125,7 @@ def make_tiler(h: int, w: int, row_offset=0):
 
 def _render_flat(scene: Scene, settings: RenderSettings) -> jnp.ndarray:
     h, w = scene.height, scene.width
-    hp = -(-h // TILE_H) * TILE_H
-    wp = -(-w // TILE_W) * TILE_W
-
-    raster_y, raster_x = jnp.meshgrid(
-        jnp.arange(hp, dtype=jnp.float32),
-        jnp.arange(wp, dtype=jnp.float32),
-        indexing="ij",
-    )
-
-    def tile(x):
-        """[hp, wp, ...] -> tiled flat [hp*wp, ...]."""
-        trailing = x.shape[2:]
-        x = x.reshape(hp // TILE_H, TILE_H, wp // TILE_W, TILE_W, *trailing)
-        x = jnp.moveaxis(x, 1, 2)
-        return x.reshape(hp * wp, *trailing)
-
-    def untile(x):
-        trailing = x.shape[1:]
-        x = x.reshape(hp // TILE_H, wp // TILE_W, TILE_H, TILE_W, *trailing)
-        x = jnp.moveaxis(x, 2, 1)
-        return x.reshape(hp, wp, *trailing)
+    rxf, ryf, untile = make_tiler(h, w)
 
     origins, dirs = camera_ops.generate_rays(
         scene.cam_position,
@@ -153,15 +133,15 @@ def _render_flat(scene: Scene, settings: RenderSettings) -> jnp.ndarray:
         scene.cam_tan_half_fov,
         w,
         h,
-        tile(raster_x),
-        tile(raster_y),
+        rxf,
+        ryf,
     )
-    rx = tile(raster_x).astype(jnp.uint32)
-    ry = tile(raster_y).astype(jnp.uint32)
+    rx = rxf.astype(jnp.uint32)
+    ry = ryf.astype(jnp.uint32)
 
     trace_fn = make_trace_fn(scene, settings)
 
-    R = hp * wp
+    R = rx.shape[0]
     tile_sz = TILE_H * TILE_W
     chunk = settings.chunk_pixels
     if chunk and chunk < R:
@@ -191,7 +171,7 @@ def _render_flat(scene: Scene, settings: RenderSettings) -> jnp.ndarray:
         color = shade_wavefront(
             scene, settings, trace_fn, origins, dirs, rx, ry
         )
-    return untile(color)[:h, :w]
+    return untile(color)  # make_tiler's untile already crops to [h, w]
 
 
 @jax.jit
