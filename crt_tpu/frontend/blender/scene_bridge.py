@@ -7,8 +7,9 @@ the fixed permutation  (x, y, z)_blender -> (x, z, -y)_renderer.
 
 Export walks the evaluated depsgraph: triangulated world-space meshes with
 per-loop-vertex UVs, CRT material/texture custom properties, point lights,
-and the active camera (vertical FOV from the camera angle).  Import rebuilds
-Blender objects from a .crtscene dict.
+and the active camera (FOV from ``cam.angle``, the sensor-fit axis — same
+as the reference add-on, even though the renderer reads fov as vertical).
+Import rebuilds Blender objects from a .crtscene dict.
 """
 
 from __future__ import annotations
@@ -39,11 +40,16 @@ if bpy is not None:
 
 
 def b2r_mat3(m):
-    """Rotation matrix in renderer space, row-major row-vector convention."""
-    r = _B2R @ m.to_3x3() @ _B2R.transposed()
-    # renderer uses row-vector convention: rows of the exported matrix are
-    # the camera basis vectors -> transpose the column-vector matrix.
-    rt = r.transposed()
+    """Rotation matrix in renderer space, row-major row-vector convention.
+
+    One-sided conversion, matching the reference exporter
+    (bl_crt_json.py:22,109): the renderer matrix is ``(_B2R @ M).T`` — the
+    change of basis re-expresses the camera's world columns in renderer
+    axes; the camera's *local* axes are identified 1:1 (Blender camera
+    looks along local -Z, renderer camera looks along -Z).  The transpose
+    converts column-vector form to the renderer's row-vector convention.
+    """
+    rt = (_B2R @ m.to_3x3()).transposed()
     return [v for row in rt for v in row]
 
 
@@ -52,7 +58,11 @@ def build_camera(scene, depsgraph) -> dict:
     if cam_obj is None:
         raise ValueError("scene has no active camera")
     mw = cam_obj.matrix_world
-    fov = math.degrees(cam_obj.data.angle_y)
+    # Reference parity (bl_crt_json.py:114): export ``cam.angle`` — the
+    # sensor-fit axis FOV (horizontal for a landscape sensor), even though
+    # the renderer treats fov as vertical.  Deliberately matches the
+    # reference add-on's behavior rather than "fixing" it to angle_y.
+    fov = math.degrees(cam_obj.data.angle)
     return {
         "position": b2r_vec(mw.translation),
         "matrix": b2r_mat3(mw),
@@ -267,16 +277,19 @@ def import_scene_dict(d: dict, collection=None):
     if cam:
         camera = bpy.data.cameras.new("crt_camera")
         if "fov_degrees" in cam:
-            camera.angle_y = math.radians(cam["fov_degrees"])
+            # Mirror of export: the reference stores the sensor-fit-axis
+            # angle (bl_crt_json.py:310).
+            camera.angle = math.radians(cam["fov_degrees"])
         ob = bpy.data.objects.new("crt_camera", camera)
         ob.location = r2b_vec(cam["position"])
         m = cam["matrix"]
         rt = Matrix(
             ((m[0], m[3], m[6]), (m[1], m[4], m[7]), (m[2], m[5], m[8]))
         )  # transpose back to column-vector form
-        ob.matrix_world = (
-            _B2R.transposed().to_4x4() @ rt.to_4x4() @ _B2R.to_4x4()
-        )
+        # Inverse of the one-sided export conversion (reference
+        # bl_crt_json.py:313-321): matrix_world = _B2R^T @ R (no trailing
+        # _B2R factor — export is (_B2R @ M).T, see b2r_mat3).
+        ob.matrix_world = _B2R.transposed().to_4x4() @ rt.to_4x4()
         ob.location = r2b_vec(cam["position"])
         coll.objects.link(ob)
         bpy.context.scene.camera = ob

@@ -127,3 +127,24 @@ def uniform(state: PCGState, active=None):
             state.inc_lo,
         )
     return val, new_state
+
+
+def derive(state: PCGState, salt: int) -> PCGState:
+    """Fork a decorrelated child stream from ``state``.
+
+    Used by the iterative (bank) wavefront when a diffuse-GI bounce spawns K
+    child rays: each child gets a distinct PCG stream (different ``inc``
+    selector — PCG streams with different increments are independent
+    sequences) seeded from the parent's post-draw state.  The reference's
+    depth-first single-stream draw order (crt_renderer.cpp:68-71) cannot be
+    reproduced breadth-first (a child's stream position would depend on its
+    *siblings'* subtree sizes), so forked streams trade draw-order parity for
+    a bounded iteration — equally deterministic, same distribution.
+    """
+    salt = int(salt)
+    # keep inc odd: flip bits above bit 0 only
+    inc_lo = state.inc_lo ^ _u32((salt << 1) & 0xFFFFFFFF)
+    inc_hi = state.inc_hi ^ _u32((salt >> 31) & 0xFFFFFFFF)
+    st = PCGState(state.state_hi, state.state_lo, inc_hi, inc_lo)
+    _, st = _next(st)
+    return st

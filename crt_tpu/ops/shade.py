@@ -328,11 +328,14 @@ def shade_wavefront(
     dirs: jnp.ndarray,  # [R, 3]
     raster_x: Optional[jnp.ndarray] = None,  # [R] for GI RNG seeding
     raster_y: Optional[jnp.ndarray] = None,
+    active: Optional[jnp.ndarray] = None,  # [R] bool; False lanes skip work
 ) -> jnp.ndarray:
     """Shade a camera-ray wavefront -> [R, 3] linear colors.
 
     ``trace_fn(origins, dirs) -> Hit`` is the intersection backend (brute
-    force, while-loop tree, or Pallas kernel).
+    force, while-loop tree, or Pallas kernel).  ``active=False`` lanes
+    (chunk padding) produce arbitrary colors the caller discards; masked
+    lanes are dropped from the trace binning so they cost no kernel work.
     """
     if scene.gi_on:
         assert raster_x is not None and raster_y is not None, (
@@ -342,7 +345,8 @@ def shade_wavefront(
     else:
         rng = None
 
-    active = jnp.ones(origins.shape[:-1], bool)
+    if active is None:
+        active = jnp.ones(origins.shape[:-1], bool)
     color, _ = _shade_level(
         scene, settings, trace_fn, origins, dirs, 0, rng, active
     )

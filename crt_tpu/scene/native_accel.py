@@ -42,10 +42,8 @@ def _load():
         fn.restype = ctypes.c_int32
         fn.argtypes = [ctypes.c_void_p]
     lib.crt_accel_export.restype = None
-    lib.crt_accel_export.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 5 \
-        + [ctypes.c_int32, ctypes.c_void_p]
-    # NOTE: signature is (h, node_min, node_max, node_children, node_leaf_id,
-    #       leaf_tris, leaf_stride, leaf_node)
+    # signature: (h, node_min, node_max, node_children, node_leaf_id,
+    #             leaf_tris, leaf_stride, leaf_node)
     lib.crt_accel_export.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
@@ -63,6 +61,10 @@ def build_host(tmin: np.ndarray, tmax: np.ndarray, max_depth: int, max_leaf: int
     tmin = np.ascontiguousarray(tmin, np.float32)
     tmax = np.ascontiguousarray(tmax, np.float32)
     T = len(tmin)
+    if T <= 0:
+        # crt_accel_build returns nullptr for empty input; mirror the NumPy
+        # builder by refusing here so callers fall back / skip the tree.
+        raise ValueError("cannot build an acceleration tree over 0 triangles")
     h = lib.crt_accel_build(
         tmin.ctypes.data, tmax.ctypes.data, T, max_depth, max_leaf
     )

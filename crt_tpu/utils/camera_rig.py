@@ -57,13 +57,15 @@ class CameraRig(NamedTuple):
         if buggy_compose:
             # Reference *= quirk: result starts from the CURRENT rotation and
             # accumulates partial products in place (crt_matrix.h:45-54).
+            # Bit-exact emulation: the C++ loop does
+            # ``data[i][j] += data[i][k] * rhs[k][j]`` IN PLACE, so at
+            # k == j the read of data[i][k] sees the partially accumulated
+            # data[i][j] — each k step must commit before the next read.
             r = jnp.array(self.rotation)
             for i in range(3):
                 for j in range(3):
-                    acc = r[i, j]
                     for k in range(3):
-                        acc = acc + r[i, k] * m[k, j]
-                    r = r.at[i, j].set(acc)
+                        r = r.at[i, j].add(r[i, k] * m[k, j])
             return self._replace(rotation=r)
         return self._replace(rotation=self.rotation @ m)
 

@@ -20,7 +20,7 @@ import numpy as np
 
 from crt_tpu.ops import camera as camera_ops
 from crt_tpu.ops.shade import shade_wavefront
-from crt_tpu.renderer import TILE_H, TILE_W, make_trace_fn
+from crt_tpu.renderer import make_tiler, make_trace_fn
 from crt_tpu.scene.types import RenderSettings, Scene
 
 
@@ -78,19 +78,7 @@ def render_with_stats(
     import jax.numpy as jnp
 
     h, w = scene.height, scene.width
-    hp = -(-h // TILE_H) * TILE_H
-    wp = -(-w // TILE_W) * TILE_W
-    raster_y, raster_x = jnp.meshgrid(
-        jnp.arange(hp, dtype=jnp.float32),
-        jnp.arange(wp, dtype=jnp.float32),
-        indexing="ij",
-    )
-
-    def tile(x):
-        t = x.reshape(hp // TILE_H, TILE_H, wp // TILE_W, TILE_W)
-        return jnp.moveaxis(t, 1, 2).reshape(hp * wp)
-
-    rx, ry = tile(raster_x), tile(raster_y)
+    rx, ry, untile = make_tiler(h, w)
     origins, dirs = camera_ops.generate_rays(
         scene.cam_position, scene.cam_rotation, scene.cam_tan_half_fov,
         w, h, rx, ry,
@@ -102,8 +90,7 @@ def render_with_stats(
             scene, settings, counting_trace, origins, dirs,
             rx.astype(jnp.uint32), ry.astype(jnp.uint32),
         )
-        t = color.reshape(hp // TILE_H, wp // TILE_W, TILE_H, TILE_W, 3)
-        img = jnp.moveaxis(t, 2, 1).reshape(hp, wp, 3)[:h, :w]
+        img = untile(color)
         # checksum computed in the same program so the timing readback does
         # not pay a second dispatch round trip
         return img, jnp.sum(img)
@@ -144,21 +131,10 @@ def binning_stats(scene, settings=None) -> dict:
     h, w = scene.height, scene.width
     # Use the renderer's pixel-tile ray ordering — scanline order would
     # report wildly looser frustums than any real trace sees.
-    hp = -(-h // TILE_H) * TILE_H
-    wp = -(-w // TILE_W) * TILE_W
-    raster_y, raster_x = jnp.meshgrid(
-        jnp.arange(hp, dtype=jnp.float32),
-        jnp.arange(wp, dtype=jnp.float32),
-        indexing="ij",
-    )
-
-    def tile(x):
-        t = x.reshape(hp // TILE_H, TILE_H, wp // TILE_W, TILE_W)
-        return jnp.moveaxis(t, 1, 2).reshape(hp * wp)
-
+    rx, ry, _ = make_tiler(h, w)
     origins, dirs = camera_ops.generate_rays(
         scene.cam_position, scene.cam_rotation, scene.cam_tan_half_fov,
-        w, h, tile(raster_x), tile(raster_y),
+        w, h, rx, ry,
     )
     o = origins.reshape(-1, 3)
     d = dirs.reshape(-1, 3)

@@ -107,6 +107,7 @@ extern "C" {
 
 void *crt_accel_build(const float *tmin, const float *tmax, int32_t T,
                       int32_t max_depth, int32_t max_leaf) {
+    if (T <= 0) return nullptr;  // root-box seed below reads tmin/tmax[0..2]
     auto *b = new Builder{tmin, tmax, max_depth, max_leaf, {}, {}, {}, {}, {}, {}};
 
     float rmin[3] = {tmin[0], tmin[1], tmin[2]};

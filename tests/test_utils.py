@@ -34,6 +34,30 @@ def test_camera_rig_moves():
     np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-5)
 
 
+def test_buggy_compose_matches_cpp_inplace_loop():
+    """buggy_compose must be bit-exact vs the reference operator*=
+    (crt_matrix.h:45-54): in-place accumulation where the k == j read sees
+    the partially updated data[i][j]."""
+
+    def cpp_star_eq(data, rhs):
+        data = np.array(data, np.float32)
+        rhs = np.asarray(rhs, np.float32)
+        for i in range(3):
+            for j in range(3):
+                for k in range(3):
+                    data[i, j] += data[i, k] * rhs[k, j]
+        return data
+
+    rig = CameraRig.identity().pan(0.4)  # non-trivial starting rotation
+    for angle in (0.3, -1.2):
+        m = np.asarray(
+            CameraRig.identity().pan(angle).rotation, np.float32
+        )
+        expected = cpp_star_eq(np.asarray(rig.rotation, np.float32), m)
+        got = np.asarray(rig.pan(angle, buggy_compose=True).rotation)
+        np.testing.assert_array_equal(got, expected)
+
+
 def test_camera_rig_render_changes_view():
     scene = make_test_scene(width=24, height=16, num_quads=4)
     img0 = np.asarray(render_image(scene, RenderSettings()))
