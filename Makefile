@@ -3,7 +3,7 @@
 
 PYTHON ?= python
 
-.PHONY: all native test bench golden blender-zip clean
+.PHONY: all native test bench golden verify blender-zip clean
 
 all: native
 
@@ -19,6 +19,11 @@ bench: native
 
 golden: native
 	$(PYTHON) tools/golden_check.py
+
+# full TPU golden sweep + bench, then machine-regenerate every published
+# table (README + BASELINE.json) from the tool output
+verify: native
+	$(PYTHON) tools/verify_publish.py
 
 # stage the Blender add-on as an installable zip (bundles crt_tpu)
 blender-zip:

@@ -5,11 +5,15 @@ Workload: scenes/14-01-acceleration-tree/scene1.crtscene — 4,014 triangles,
 reference's optimization report (src/README.md:5-11; best: 0.066962 s with
 the KD tree on a Ryzen 7 8845HS ≈ 31.0 M primary rays/s).
 
-Metric: primary-ray throughput (Mrays/s) of the full forward render
-(1 primary + 4 shadow traces per pixel), best of N timed runs after
-compilation, end-to-end on device.  vs_baseline = ours / 31.0.
+Metrics: primary-ray throughput (Mrays/s) of (a) the full forward render
+(1 primary + 4 shadow traces per pixel) and (b) forward+backward —
+``value_and_grad`` of the image sum w.r.t. vertices, light intensities and
+camera position (the BASELINE.json north-star metric) — each best of N
+timed runs after compilation, end-to-end on device.  vs_baseline = ours /
+31.0 (the reference CPU's forward anchor, src/README.md:11).
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"} plus
+fwd_bwd_* keys for the forward+backward figure.
 """
 
 from __future__ import annotations
@@ -69,13 +73,41 @@ def main():
         for i in range(5)
     )
 
+    reps = int(os.environ.get("CRT_BENCH_REPS", "7"))
     best = float("inf")
-    for i in range(int(os.environ.get("CRT_BENCH_REPS", "7"))):
+    for i in range(reps):
         eps = jnp.asarray([0.0, 0.0, 1e-6 * (i + 1)], jnp.float32)
         best = min(best, _timed(lambda: float(fn(scene, eps))))
     best = max(best - overhead, 1e-9)
 
-    mrays = scene.width * scene.height / best / 1e6
+    # forward+backward: d(sum image)/d(vertices, lights, camera) — the
+    # BASELINE.json metric ("Mrays/s/chip forward+backward")
+    def loss(vertices, lights, cam, eps):
+        s = scene.replace(
+            vertices=vertices,
+            light_intensity=lights,
+            cam_position=cam + eps,
+        )
+        return jnp.sum(_render_flat(s, settings))
+
+    grad_fn = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2)))
+
+    def run_grad(eps):
+        v, grads = grad_fn(
+            scene.vertices, scene.light_intensity, scene.cam_position, eps
+        )
+        return float(v) + float(grads[2][0])  # readback forces full pipeline
+
+    run_grad(jnp.zeros(3))  # compile + warm up
+    best_grad = float("inf")
+    for i in range(reps):
+        eps = jnp.asarray([0.0, 0.0, 1e-6 * (i + 1)], jnp.float32)
+        best_grad = min(best_grad, _timed(lambda: run_grad(eps)))
+    best_grad = max(best_grad - overhead, 1e-9)
+
+    px = scene.width * scene.height
+    mrays = px / best / 1e6
+    mrays_grad = px / best_grad / 1e6
     print(
         json.dumps(
             {
@@ -83,6 +115,8 @@ def main():
                 "value": round(mrays, 3),
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
+                "fwd_bwd_mrays": round(mrays_grad, 3),
+                "fwd_bwd_vs_baseline": round(mrays_grad / BASELINE_MRAYS, 3),
             }
         )
     )

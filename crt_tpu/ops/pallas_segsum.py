@@ -1,0 +1,131 @@
+"""Pallas TPU kernel: per-triangle gradient accumulation (segment matmul).
+
+The differentiable hit-attribute path gathers one packed [K, T] row table at
+the per-ray hit-triangle ids (crt_tpu.ops.shade.hit_attributes).  Its VJP is
+a scatter-add of [K, R] cotangents into [K, T] — XLA lowers TPU scatter-adds
+to a serialized update loop, which round-1 profiling found to dominate the
+backward pass (fwd+bwd 49 ms vs 29 ms fwd on the 14-01 benchmark scene,
+docs/ROADMAP.md).
+
+TPU-native replacement: the scatter IS a matmul.  For one-hot selection
+H[r, t] = (tri[r] == t),
+
+    grad_packed[k, t] = sum_r g[k, r] * H[r, t]  =  (g @ H)[k, t]
+
+so each grid step builds H for a (ray-tile x segment-tile) block *in VMEM*
+(broadcasted-iota compare — H never touches HBM) and feeds the MXU,
+accumulating into the [K, T_BLK] output block across the sequential ray
+grid axis.  HBM traffic is the cotangents ([K, R] f32, rays on lanes,
+re-read once per segment tile) + ids + the [K, T] output — tens of MB for
+a 2 M-ray frame vs a serialized 2 M-update scatter loop.
+
+Exactness: H is 0/1 in f32 and accumulation is f32, so the result equals
+the XLA scatter-add up to f32 summation order — gradcheck-safe (validated
+against the scatter path in tests/test_segsum.py).
+
+Scope: used for T <= MAX_SEGMENTS (covers every course scene; bigger
+scenes fall back to XLA scatter until a sort-based variant exists).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu  # noqa: F401 (platform dep)
+
+R_TILE = 1024  # rays per grid step
+T_BLK = 1024  # segment columns per grid step ([R_TILE, T_BLK] f32 = 4 MB)
+MAX_SEGMENTS = 65536  # beyond this the g re-reads outweigh the scatter
+
+
+def _kernel(tri_ref, g_ref, out_ref, *, t_blk):
+    """out[K, T_BLK] += g[K, R_TILE] @ onehot(tri)[R_TILE, T_BLK]."""
+    j = pl.program_id(0)  # segment-tile index (outer)
+    i = pl.program_id(1)  # ray-tile index (inner, accumulating)
+
+    @pl.when(i == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    tri = tri_ref[0]  # [R_TILE] i32 (-1 padding never matches)
+    g = g_ref[...]  # [K, R_TILE] f32
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (R_TILE, t_blk), 1)
+    onehot = (tri[:, None] == cols + j * t_blk).astype(jnp.float32)
+
+    out_ref[...] += jax.lax.dot_general(
+        g,
+        onehot,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def segment_accumulate_matmul(
+    tri: jnp.ndarray,  # [R] i32 segment ids, -1 (or any out-of-range) = skip
+    g: jnp.ndarray,  # [K, R] f32 cotangents
+    num_segments: int,
+) -> jnp.ndarray:
+    """MXU segment-sum: returns [K, num_segments] f32."""
+    K, R = g.shape
+    t_pad = max(-(-num_segments // T_BLK) * T_BLK, T_BLK)
+    r_pad = (-R) % R_TILE
+    if r_pad:
+        tri = jnp.concatenate([tri, jnp.full((r_pad,), -1, jnp.int32)])
+        g = jnp.concatenate([g, jnp.zeros((K, r_pad), g.dtype)], axis=1)
+    steps_r = (R + r_pad) // R_TILE
+    steps_t = t_pad // T_BLK
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, t_blk=T_BLK),
+        grid=(steps_t, steps_r),  # ray axis innermost: out block stays put
+        in_specs=[
+            pl.BlockSpec((1, R_TILE), lambda j, i: (0, i)),
+            pl.BlockSpec((K, R_TILE), lambda j, i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((K, T_BLK), lambda j, i: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((K, t_pad), jnp.float32),
+    )(tri[None].astype(jnp.int32), g.astype(jnp.float32))
+    return out[:, :num_segments]
+
+
+def use_matmul_segsum(num_segments: int) -> bool:
+    import os
+
+    force = os.environ.get("CRT_SEGSUM")  # A/B knob: "matmul" | "scatter"
+    if force == "scatter":
+        return False
+    if force == "matmul":
+        return True
+    return (
+        jax.default_backend() in ("tpu", "axon")
+        and num_segments <= MAX_SEGMENTS
+    )
+
+
+@jax.custom_vjp
+def packed_gather(packed: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
+    """``packed[:, tri]`` with a TPU-optimized VJP.
+
+    packed: [K, T]; tri: [R] i32 (callers pass clamped-to-valid ids).
+    """
+    return packed[:, tri]
+
+
+def _pg_fwd(packed, tri):
+    return packed[:, tri], (tri, packed.shape[1])
+
+
+def _pg_bwd(res, g):
+    tri, T = res
+    if use_matmul_segsum(T) and g.ndim == 2 and tri.ndim == 1:
+        grad = segment_accumulate_matmul(tri, g, T)
+    else:
+        grad = jnp.zeros((g.shape[0], T), g.dtype).at[:, tri].add(g)
+    return grad, None
+
+
+packed_gather.defvjp(_pg_fwd, _pg_bwd)

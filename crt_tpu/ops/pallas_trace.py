@@ -651,3 +651,81 @@ def make_pallas_trace_fn(scene, tile_rays: int | None = None,
     else:
         trace.occluded_kernel = occluded  # available, not auto-used
     return trace
+
+
+# ---------------------------------------------------------------------------
+# XLA reference evaluation of the cluster tables (kernel oracle + the local
+# intersection fallback for partitioned scenes on non-TPU platforms)
+# ---------------------------------------------------------------------------
+
+def closest_hit_tables(tables: ClusterTables, origins, dirs,
+                       chunk_slots: int = 4096) -> Hit:
+    """Dense closest-hit over every cluster slot, plain XLA.
+
+    Exactly the _trace_kernel per-triangle test (plane + three half-spaces,
+    backface gate, min-t with min-triangle-id tie break) without binning —
+    O(R x slots), meant for tests and as the CPU-mesh fallback of the
+    scene-partitioned path.  ``chunk_slots`` bounds the materialized
+    [R, chunk] intermediates.
+    """
+    L, S = tables.tri_id.shape
+    n = tables.n.reshape(L * S, 3)
+    nv0 = tables.nv0.reshape(L * S)
+    m = tables.m.reshape(L * S, 9)
+    c = tables.c.reshape(L * S, 3)
+    nobf = tables.nobf.reshape(L * S)
+    tid = tables.tri_id.reshape(L * S)
+
+    o = origins.reshape(-1, 3)
+    d = dirs.reshape(-1, 3)
+    R = o.shape[0]
+    INF = jnp.float32(jnp.inf)
+    BIGID = jnp.int32(2**30)
+
+    pad = (-(L * S)) % chunk_slots
+    if pad:
+        n = jnp.concatenate([n, jnp.zeros((pad, 3), n.dtype)])
+        nv0 = jnp.concatenate([nv0, jnp.zeros((pad,), nv0.dtype)])
+        m = jnp.concatenate([m, jnp.zeros((pad, 9), m.dtype)])
+        c = jnp.concatenate([c, jnp.ones((pad, 3), c.dtype)])
+        nobf = jnp.concatenate([nobf, jnp.zeros((pad,), nobf.dtype)])
+        tid = jnp.concatenate([tid, jnp.full((pad,), -1, jnp.int32)])
+    chunks = (L * S + pad) // chunk_slots
+
+    def one_chunk(carry, xs):
+        best_t, best_tri = carry
+        cn, cnv0, cm, cc, cnobf, ctid = xs  # [chunk, ...]
+        nd = jnp.einsum("sc,rc->rs", cn, d)  # [R, chunk]
+        no = jnp.einsum("sc,rc->rs", cn, o)
+        opd = cnv0[None, :] - no
+        not_parallel = jnp.abs(nd) >= PARALLEL_EPS
+        front = opd < 0.0
+        face_ok = front | (cnobf[None, :] > 0.5)
+        t = opd / jnp.where(not_parallel, nd, 1.0)
+        valid = not_parallel & face_ok & (t >= 0.0)
+        for e in range(3):
+            md = jnp.einsum("sc,rc->rs", cm[:, 3 * e : 3 * e + 3], d)
+            mo = jnp.einsum("sc,rc->rs", cm[:, 3 * e : 3 * e + 3], o)
+            valid = valid & ((mo - cc[None, :, e]) + t * md >= 0.0)
+        t = jnp.where(valid & (ctid[None, :] >= 0), t, INF)
+        ch_best = jnp.min(t, axis=1)
+        cand = jnp.where(t <= ch_best[:, None], ctid[None, :], BIGID)
+        ch_tri = jnp.min(cand, axis=1)
+        better = ch_best < best_t
+        return (
+            jnp.where(better, ch_best, best_t),
+            jnp.where(better, ch_tri, best_tri),
+        ), None
+
+    # init derived from the ray AND table inputs so its varying-manual-axes
+    # type under shard_map matches the scan outputs (a plain jnp.full is
+    # unvarying on every mesh axis and trips the carry type check)
+    zero = (o[:, 0] + d[:, 0]) * 0.0 + nv0[:1].sum() * 0.0
+    init = (zero + INF, zero.astype(jnp.int32) - 1)
+    xs = tuple(
+        x.reshape((chunks, chunk_slots) + x.shape[1:])
+        for x in (n, nv0, m, c, nobf, tid)
+    )
+    (best_t, best_tri), _ = jax.lax.scan(one_chunk, init, xs)
+    best_tri = jnp.where(jnp.isinf(best_t), -1, best_tri)
+    return Hit(t=best_t, tri=best_tri)

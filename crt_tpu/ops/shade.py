@@ -98,18 +98,50 @@ def _needs_bary(scene) -> bool:
     )
 
 
+def build_packed(scene, force_all: bool = False) -> jnp.ndarray:
+    """The per-triangle shading-constant table, transposed [K, T].
+
+    Layout: v0|v1|v2 (+n0|n1|n2 if smooth needed) (+uv0|uv1|uv2 if uv
+    needed) — columns the scene statically cannot need are never packed.
+    Transposed so the per-hit gather output is [K, R]: XLA pads the minor
+    dim to 128 lanes, so gathering [R, K] rows would pad K=9..27 up to 128
+    (a 5-14x HBM blowup, fatal for deep unrolled recursion); [K, R] pads
+    only K sublanes (<= 1.4x).
+    """
+    idx = scene.tri_vidx  # [T, 3]
+    cols = [
+        scene.vertices[idx[:, 0]],
+        scene.vertices[idx[:, 1]],
+        scene.vertices[idx[:, 2]],
+    ]
+    if scene.any_smooth or force_all:
+        cols += [
+            scene.vertex_normals[idx[:, 0]],
+            scene.vertex_normals[idx[:, 1]],
+            scene.vertex_normals[idx[:, 2]],
+        ]
+    if _needs_uv(scene) or force_all:
+        cols += [
+            scene.vertex_uvs[idx[:, 0]],
+            scene.vertex_uvs[idx[:, 1]],
+            scene.vertex_uvs[idx[:, 2]],
+        ]
+    return jnp.concatenate(cols, axis=-1).T  # [K, T]
+
+
 def hit_attributes(scene, origins, dirs, hit: Hit,
-                   force_all: bool = False) -> HitAttributes:
+                   force_all: bool = False, rows_fn=None) -> HitAttributes:
     """Recompute intersection attributes exactly as crt_intersection.cpp:60-88.
 
     ``hit.tri`` is treated as a constant (discrete choice); everything else
     differentiates through the scene arrays.
 
-    HBM note: all per-triangle data is gathered through ONE packed [T, K]
-    table (one contiguous row per hit) rather than 9+ scattered vertex
-    gathers — random-access bytes are the cost on TPU, not FLOPs.  Columns
-    the scene statically cannot need (no smooth materials / no uv textures)
-    are never packed or interpolated.
+    HBM note: all per-triangle data is gathered through ONE packed [K, T]
+    table (one contiguous row per hit, see build_packed) rather than 9+
+    scattered vertex gathers — random-access bytes are the cost on TPU, not
+    FLOPs.  ``rows_fn(tri) -> [K, R]`` overrides the gather for partitioned
+    scenes (each device holds a T/N table shard; the rows come back via a
+    psum exchange — crt_tpu.parallel.scene_sharded).
     """
     tri = jnp.maximum(jax.lax.stop_gradient(hit.tri), 0)
     valid = jax.lax.stop_gradient(hit.tri) >= 0
@@ -118,31 +150,15 @@ def hit_attributes(scene, origins, dirs, hit: Hit,
     need_bary = _needs_bary(scene) or force_all
     any_smooth = scene.any_smooth or force_all
 
-    idx = scene.tri_vidx  # [T, 3]
-    cols = [
-        scene.vertices[idx[:, 0]],
-        scene.vertices[idx[:, 1]],
-        scene.vertices[idx[:, 2]],
-    ]
-    if any_smooth:
-        cols += [
-            scene.vertex_normals[idx[:, 0]],
-            scene.vertex_normals[idx[:, 1]],
-            scene.vertex_normals[idx[:, 2]],
-        ]
-    if need_uv:
-        cols += [
-            scene.vertex_uvs[idx[:, 0]],
-            scene.vertex_uvs[idx[:, 1]],
-            scene.vertex_uvs[idx[:, 2]],
-        ]
-    # Transposed layout [K, T] so the gather output is [K, R]: XLA pads the
-    # minor dim to 128 lanes, so gathering [R, K] rows would pad K=9..27 up
-    # to 128 (a 5-14x HBM blowup, fatal for deep unrolled recursion); [K, R]
-    # pads only K sublanes (<= 1.4x).
-    packed = jnp.concatenate(cols, axis=-1).T  # [K, T]
+    if rows_fn is None:
+        from crt_tpu.ops.pallas_segsum import packed_gather
 
-    rows = packed[:, tri]  # [K, R] — the one big gather
+        packed = build_packed(scene, force_all)
+        # the one big gather; its VJP is the MXU segment-matmul (the XLA
+        # scatter-add here dominated round-1's backward pass)
+        rows = packed_gather(packed, tri)  # [K, R]
+    else:
+        rows = rows_fn(tri)
 
     def col3(o):
         return jnp.moveaxis(rows[o : o + 3], 0, -1)  # [R, 3]
@@ -160,14 +176,16 @@ def hit_attributes(scene, origins, dirs, hit: Hit,
 
     if need_bary:
         # Barycentrics from cross-product magnitudes
-        # (crt_intersection.cpp:71-74).
+        # (crt_intersection.cpp:71-74).  safe_length: a hit exactly on an
+        # edge zeroes a numerator cross product, and d sqrt/dx at 0 would
+        # NaN-poison the whole backward pass.
         v0p = point - v0
         v0v1 = v1 - v0
         v0v2 = v2 - v0
         denom = vecmath.length(vecmath.cross(v0v1, v0v2))
         denom = jnp.where(denom > 0, denom, 1.0)
-        bary_u = vecmath.length(vecmath.cross(v0p, v0v2)) / denom
-        bary_v = vecmath.length(vecmath.cross(v0v1, v0p)) / denom
+        bary_u = vecmath.safe_length(vecmath.cross(v0p, v0v2)) / denom
+        bary_v = vecmath.safe_length(vecmath.cross(v0v1, v0p)) / denom
     else:
         bary_u = jnp.zeros(t.shape, jnp.float32)
         bary_v = jnp.zeros(t.shape, jnp.float32)
@@ -329,6 +347,7 @@ def shade_wavefront(
     raster_x: Optional[jnp.ndarray] = None,  # [R] for GI RNG seeding
     raster_y: Optional[jnp.ndarray] = None,
     active: Optional[jnp.ndarray] = None,  # [R] bool; False lanes skip work
+    rows_fn=None,  # partitioned-scene row gather (see hit_attributes)
 ) -> jnp.ndarray:
     """Shade a camera-ray wavefront -> [R, 3] linear colors.
 
@@ -348,12 +367,13 @@ def shade_wavefront(
     if active is None:
         active = jnp.ones(origins.shape[:-1], bool)
     color, _ = _shade_level(
-        scene, settings, trace_fn, origins, dirs, 0, rng, active
+        scene, settings, trace_fn, origins, dirs, 0, rng, active, rows_fn
     )
     return color
 
 
-def _shade_level(scene, settings, trace_fn, origins, dirs, depth, rng, active):
+def _shade_level(scene, settings, trace_fn, origins, dirs, depth, rng, active,
+                 rows_fn=None):
     """One unrolled recursion level.  Returns (color [R,3], rng)."""
     R = origins.shape[:-1]
     black = jnp.zeros(R + (3,), jnp.float32)
@@ -368,7 +388,7 @@ def _shade_level(scene, settings, trace_fn, origins, dirs, depth, rng, active):
     level_trace = trace_fn
 
     hit = level_trace(origins, dirs, active)
-    attrs = hit_attributes(scene, origins, dirs, hit)
+    attrs = hit_attributes(scene, origins, dirs, hit, rows_fn=rows_fn)
 
     if not scene.has_materials:
         # Legacy material-less scenes (07-*): the era's golden renders show a
@@ -420,7 +440,7 @@ def _shade_level(scene, settings, trace_fn, origins, dirs, depth, rng, active):
         )
         refl_color, rng = _shade_level(
             scene, settings, trace_fn, refl_origin, refl_dir,
-            depth + 1, rng, refl_active,
+            depth + 1, rng, refl_active, rows_fn,
         )
     else:
         refl_color = black
@@ -428,7 +448,7 @@ def _shade_level(scene, settings, trace_fn, origins, dirs, depth, rng, active):
     if want_refract:
         refr_color, rng = _shade_level(
             scene, settings, trace_fn, refr_origin, refr_dir,
-            depth + 1, rng, active & is_refractive & refr_ok,
+            depth + 1, rng, active & is_refractive & refr_ok, rows_fn,
         )
     else:
         refr_color = black
@@ -466,7 +486,7 @@ def _shade_level(scene, settings, trace_fn, origins, dirs, depth, rng, active):
 
             gi_color, rng = _shade_level(
                 scene, settings, trace_fn, gi_origin, gi_dir,
-                depth + 1, rng, gi_active,
+                depth + 1, rng, gi_active, rows_fn,
             )
             return (acc + gi_color, rng), None
 

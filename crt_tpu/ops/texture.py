@@ -31,6 +31,19 @@ from crt_tpu.scene.types import (
 )
 
 
+def _grad_gather(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather rows of a small differentiable table: [X, C][idx] -> [R, C]
+    (or [X][idx] -> [R]) whose VJP is the MXU segment-matmul instead of a
+    serialized 2M-update XLA scatter (see crt_tpu.ops.pallas_segsum)."""
+    from crt_tpu.ops.pallas_segsum import packed_gather
+
+    if idx.ndim != 1:
+        return table[idx]
+    if table.ndim == 1:
+        return packed_gather(table[None, :], idx)[0]
+    return packed_gather(table.T, idx).T
+
+
 def _c_trunc(x: jnp.ndarray) -> jnp.ndarray:
     """float -> int with C++ truncation toward zero (static_cast<int>)."""
     return jnp.trunc(x).astype(jnp.int32)
@@ -62,12 +75,12 @@ def sample_textures(
     present = set(scene.texture_types_present)
     safe_idx = jnp.maximum(tex_idx, 0)
     ttype = scene.tex_type[safe_idx]  # [R]
-    color_a = scene.tex_color_a[safe_idx]  # [R, 3]
+    color_a = _grad_gather(scene.tex_color_a, safe_idx)  # [R, 3]
     if present <= {TEXTURE_ALBEDO}:
         return color_a
 
-    color_b = scene.tex_color_b[safe_idx]  # [R, 3]
-    scalar = scene.tex_scalar[safe_idx]  # [R]
+    color_b = _grad_gather(scene.tex_color_b, safe_idx)  # [R, 3]
+    scalar = _grad_gather(scene.tex_scalar, safe_idx)  # [R]
     u, v = uv[..., 0], uv[..., 1]
 
     conds, choices = [], []

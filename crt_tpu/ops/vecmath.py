@@ -43,6 +43,19 @@ def length(v: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(length_squared(v))
 
 
+def safe_length(v: jnp.ndarray, eps: float = 1e-30) -> jnp.ndarray:
+    """|v| with a finite gradient at v = 0.
+
+    d sqrt(x)/dx blows up at x = 0, so ``length`` NaN-poisons the backward
+    pass wherever a wavefront lane's cross product is exactly zero (e.g. a
+    pixel ray hitting exactly on a triangle edge makes the barycentric
+    numerator vanish).  Clamping the radicand changes the forward value by
+    at most sqrt(eps) = 1e-15 and zeroes the (mathematically undefined)
+    gradient at the origin.
+    """
+    return jnp.sqrt(jnp.maximum(length_squared(v), eps))
+
+
 def normalize(v: jnp.ndarray) -> jnp.ndarray:
     """v / |v| — matches reference normalize() (no epsilon; crt_vector.h:97)."""
     return v / length(v)[..., None]

@@ -98,3 +98,60 @@ def render_rows_local(
         lambda s, start: _render_rows(s, settings, start, num_rows)
     )
     return fn(scene, jnp.int32(row_start))
+
+
+class BlockRenderError(RuntimeError):
+    """A row block failed after exhausting its retries."""
+
+
+def render_blocks_with_recovery(
+    scene: Scene,
+    settings: RenderSettings | None = None,
+    num_blocks: int = 4,
+    render_block=None,
+    max_attempts: int = 3,
+) -> np.ndarray:
+    """Block scheduler with failure detection and re-dispatch.
+
+    The recovery story (SURVEY.md §5): renders are stateless, so losing a
+    worker loses only its row block — re-render it anywhere.  This is the
+    dispatcher for that: the frame is cut into ``num_blocks`` row blocks,
+    each rendered by ``render_block(scene, row_start, num_rows, settings)``
+    (default: the local ``render_rows_local`` unit); a block that raises is
+    retried up to ``max_attempts`` times and the frame is assembled from
+    whichever attempts succeeded.  ``render_block`` is injectable both for
+    routing blocks to other hosts and for fault-injection tests.
+
+    Raises BlockRenderError when a block exhausts its attempts — a lost
+    block must never be silently filled with zeros.
+    """
+    settings = settings or RenderSettings()
+    if render_block is None:
+        def render_block(s, start, n, st):
+            return render_rows_local(s, start, n, st)
+
+    h, w = scene.height, scene.width
+    rows_per = -(-h // num_blocks)
+    queue = [(b, 0) for b in range(num_blocks)]
+    results: dict[int, np.ndarray] = {}
+    while queue:
+        b, attempt = queue.pop(0)
+        start = b * rows_per
+        n = min(rows_per, h - start)
+        if n <= 0:
+            continue
+        try:
+            results[b] = np.asarray(render_block(scene, start, n, settings))
+        except Exception as e:  # noqa: BLE001 — any worker failure re-queues
+            if attempt + 1 >= max_attempts:
+                raise BlockRenderError(
+                    f"row block {b} (rows {start}..{start + n}) failed "
+                    f"{max_attempts} times: {e}"
+                ) from e
+            queue.append((b, attempt + 1))
+
+    frame = np.zeros((h, w, 3), np.float32)
+    for b, block in results.items():
+        start = b * rows_per
+        frame[start : start + block.shape[0]] = block[: h - start]
+    return frame

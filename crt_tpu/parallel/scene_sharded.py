@@ -1,18 +1,28 @@
-"""Scene-partitioned rendering: triangles sharded across the mesh.
+"""Scene-partitioned rendering: each device HOLDS 1/N of the scene.
 
 The course scenes are tiny (<= 4k triangles) so the default data-parallel
 path replicates the scene and shards rays (sharded.py).  This module covers
-the opposite regime — scenes too large for one chip's HBM: triangles are
-Morton-clustered and the *clusters* are sharded over a mesh axis, each
-device intersects the (replicated or ray-sharded) wavefront against its
-local shard, and per-device partial hits are min-combined across the scene
-axis with two ``pmin`` collectives (distance first, then triangle id among
-the distance winners).
+the opposite regime — scenes too large for one chip's HBM.  The heavy
+per-triangle state is physically partitioned over a mesh axis:
 
-This is the ray-tracing cousin of sequence-parallel attention: the
-reduction over "context" (triangles) is associative, so it distributes over
-devices with one small collective per trace instead of any data motion of
-the scene.  A 2-D mesh ("rays", "scene") composes both parallelisms.
+  - the Morton-cluster intersection tables (ClusterTables, 17 f32 per
+    triangle slot — the dominant term) sharded over the cluster axis;
+  - the packed shading-constant table ([K, T] f32, K = 9..27 — see
+    crt_tpu.ops.shade.build_packed) sharded over the triangle axis.
+
+Per trace, each device intersects the wavefront against its local cluster
+shard (real Pallas kernel on TPU, the XLA table oracle elsewhere) and
+partial hits min-combine across the scene axis with two ``pmin``
+collectives.  Shading then needs the winning triangle's constants, which
+live on exactly one shard: every device gathers rows for the hits it owns
+and one ``psum`` broadcast assembles the full [K, R] row block — the
+ray-tracing cousin of sequence-parallel attention (reduction over context
+distributes; only O(K x R) activations ever cross the interconnect, never
+scene data).
+
+A 2-D ("rays", "scene") mesh composes this with ray data-parallelism.
+Replicated remainder: per-triangle material ids (4 B/tri), the per-material
+/texture/light tables, and the camera — a few percent of scene bytes.
 
 SURVEY.md §5 "long-context" requirement; no reference equivalent exists
 (single process, crt_renderer.cpp:157-199).
@@ -24,11 +34,18 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from crt_tpu.ops import camera as camera_ops
-from crt_tpu.ops.intersect import Hit, build_triangle_data, closest_hit_bruteforce
-from crt_tpu.ops.shade import shade_wavefront
+from crt_tpu.ops.intersect import Hit
+from crt_tpu.ops.pallas_trace import (
+    ClusterTables,
+    build_cluster_tables,
+    closest_hit_pallas_flat,
+    closest_hit_tables,
+)
+from crt_tpu.ops.shade import build_packed, shade_wavefront
 from crt_tpu.scene.types import RenderSettings, Scene
 
 _BIG_ID = jnp.int32(2**30)
@@ -50,52 +67,116 @@ def _combine_hits_across(axis: str, hit: Hit) -> Hit:
     return Hit(t=best_t, tri=best_tri)
 
 
-def pad_triangles_for_shards(scene: Scene, num_shards: int) -> Scene:
-    """Pad the triangle list to a shard multiple with degenerate triangles
-    (zero-area -> never hit: |n.d| < eps rejects them)."""
-    T = scene.num_triangles
-    pad = (-T) % num_shards
+def _pad_axis(x, mult, axis, fill):
+    pad = (-x.shape[axis]) % mult
     if pad == 0:
-        return scene
-    tri_vidx = jnp.concatenate(
-        [scene.tri_vidx, jnp.zeros((pad, 3), jnp.int32)]
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=fill)
+
+
+def pad_tables_for_shards(tables: ClusterTables, n: int) -> ClusterTables:
+    """Pad the cluster axis to a shard multiple with never-hit clusters:
+    degenerate test constants (c=1, n=0), inverted AABBs (binning skips),
+    tri_id=-1."""
+    INF = jnp.float32(3.4e38)
+    return ClusterTables(
+        n=_pad_axis(tables.n, n, 0, 0.0),
+        nv0=_pad_axis(tables.nv0, n, 0, 0.0),
+        m=_pad_axis(tables.m, n, 0, 0.0),
+        c=_pad_axis(tables.c, n, 0, 1.0),
+        nobf=_pad_axis(tables.nobf, n, 0, 0.0),
+        tri_id=_pad_axis(tables.tri_id, n, 0, -1),
+        cl_min=_pad_axis(tables.cl_min, n, 0, INF),
+        cl_max=_pad_axis(tables.cl_max, n, 0, -INF),
     )
-    tri_material = jnp.concatenate(
-        [scene.tri_material, jnp.zeros((pad,), jnp.int32)]
-    )
-    return scene.replace(tri_vidx=tri_vidx, tri_material=tri_material)
 
 
-def make_scene_sharded_trace_fn(scene: Scene, mesh: Mesh, scene_axis: str):
-    """trace_fn whose triangle work is sharded over ``scene_axis``.
+def build_partitioned_tables(scene: Scene, mesh: Mesh, scene_axis: str):
+    """(tables, packed, shard_tris) with device placement sharded over
+    ``scene_axis`` — no device ever materializes the full tables.
 
-    Must be called INSIDE shard_map: uses axis_index to pick the local
-    triangle shard and pmin to combine.  The scene pytree itself is
-    replicated (cheap: SoA arrays) — only the *work* is partitioned; for a
-    truly partitioned memory footprint pass an already-sharded scene.
+    ``packed`` is padded on the triangle axis to a shard multiple;
+    ``shard_tris`` is the static per-shard triangle count.
     """
-    n_shards = mesh.shape[scene_axis]
-    T = scene.num_triangles
-    assert T % n_shards == 0, "pad_triangles_for_shards first"
-    shard_size = T // n_shards
+    n = mesh.shape[scene_axis]
+    tables = pad_tables_for_shards(build_cluster_tables(scene), n)
+    tables = jax.tree.map(jax.lax.stop_gradient, tables)
+    packed = _pad_axis(build_packed(scene), n, 1, 0.0)
+    shard_tris = packed.shape[1] // n
+
+    table_sharding = NamedSharding(mesh, P(scene_axis))
+    packed_sharding = NamedSharding(mesh, P(None, scene_axis))
+    tables = jax.tree.map(
+        lambda x: jax.device_put(x, table_sharding), tables
+    )
+    packed = jax.device_put(packed, packed_sharding)
+    return tables, packed, shard_tris
+
+
+def make_partitioned_trace_fn(local_tables: ClusterTables, scene_axis: str,
+                              backend: str = "auto"):
+    """trace_fn over a LOCAL cluster-table shard + pmin combine.
+
+    Must be called inside shard_map.  ``active`` masks feed the Pallas
+    binning (dead tiles cost nothing); cluster tri_ids are global, so no
+    id translation is needed.
+    """
+    if backend == "auto":
+        backend = (
+            "pallas" if jax.default_backend() in ("tpu", "axon") else "tables"
+        )
 
     def trace(origins, dirs, active=None):
-        del active
-        k = jax.lax.axis_index(scene_axis)
-        lo = k * shard_size
-        tri_vidx = jax.lax.dynamic_slice_in_dim(scene.tri_vidx, lo, shard_size)
-        tri_mat = jax.lax.dynamic_slice_in_dim(scene.tri_material, lo, shard_size)
-        tri = build_triangle_data(
-            jax.lax.stop_gradient(scene.vertices),
-            tri_vidx,
-            scene.mat_backface[tri_mat],
+        o = jax.lax.stop_gradient(origins.reshape(-1, 3))
+        d = jax.lax.stop_gradient(dirs.reshape(-1, 3))
+        if backend == "pallas":
+            from crt_tpu.ops.pallas_trace import TILE_RAYS
+
+            pad = (-o.shape[0]) % TILE_RAYS
+            a = None if active is None else jax.lax.stop_gradient(
+                active.reshape(-1)
+            )
+            if pad:
+                o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+                d = jnp.concatenate(
+                    [d, jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]]), (pad, 1))]
+                )
+                if a is not None:
+                    a = jnp.concatenate([a, jnp.zeros((pad,), bool)])
+            local = closest_hit_pallas_flat(local_tables, o, d, a)
+            local = Hit(t=local.t[: origins.shape[0]],
+                        tri=local.tri[: origins.shape[0]])
+        else:
+            local = closest_hit_tables(local_tables, o, d)
+        local = Hit(
+            t=local.t.reshape(origins.shape[:-1]),
+            tri=local.tri.reshape(origins.shape[:-1]),
         )
-        local = closest_hit_bruteforce(tri, origins, dirs)
-        # local ids are shard-relative -> globalize before combining
-        local = Hit(t=local.t, tri=jnp.where(local.tri >= 0, local.tri + lo, -1))
         return _combine_hits_across(scene_axis, local)
 
     return trace
+
+
+def make_partitioned_rows_fn(local_packed: jnp.ndarray, shard_tris: int,
+                             scene_axis: str):
+    """Row gather for hit_attributes over a packed-table shard.
+
+    Each device gathers the rows of hits whose triangle it owns (masked
+    local gather) and a single psum assembles the full [K, R] block on
+    every device — the only cross-device motion of shading data.
+    """
+
+    def rows_fn(tri):
+        k = jax.lax.axis_index(scene_axis)
+        local = tri - k * shard_tris
+        mine = (local >= 0) & (local < shard_tris)
+        rows = local_packed[:, jnp.clip(local, 0, shard_tris - 1)]
+        rows = jnp.where(mine[None, :], rows, 0.0)
+        return jax.lax.psum(rows, scene_axis)
+
+    return rows_fn
 
 
 def render_image_scene_sharded(
@@ -104,23 +185,32 @@ def render_image_scene_sharded(
     mesh: Mesh | None = None,
     rays_axis: str = "rays",
     scene_axis: str = "scene",
+    local_backend: str = "auto",
 ) -> jnp.ndarray:
-    """Forward render on a 2-D ("rays", "scene") mesh.
+    """Forward render on a 2-D ("rays", "scene") mesh with the scene's
+    per-triangle state physically partitioned over ``scene_axis``.
 
-    Pixel rows are sharded over ``rays_axis``; each row block's intersection
-    work is split over ``scene_axis`` and pmin-combined.  Output matches the
-    single-device render exactly.
+    Pixel rows are sharded over ``rays_axis``; intersection + shading
+    constants are sharded over ``scene_axis`` (see module docstring).
+    Output matches the single-device render up to f32 reduction order.
     """
     settings = settings or RenderSettings()
     if mesh is None:
-        import numpy as np
-
         devs = np.array(jax.devices())
         mesh = Mesh(devs.reshape(2, -1), (rays_axis, scene_axis))
 
+    if scene.has_refractive and scene.refractions_on:
+        # transmissive shadow marching reads raw vertices (shade.
+        # _occlusion_masks) — not yet routed through the row exchange
+        raise NotImplementedError(
+            "scene-partitioned rendering does not support refractive "
+            "scenes yet (transmissive shadows need raw vertex access)"
+        )
+
     n_ray = mesh.shape[rays_axis]
-    n_scene = mesh.shape[scene_axis]
-    scene = pad_triangles_for_shards(scene, n_scene)
+    tables, packed, shard_tris = build_partitioned_tables(
+        scene, mesh, scene_axis
+    )
 
     h, w = scene.height, scene.width
     rows_per = -(-h // n_ray)
@@ -129,10 +219,10 @@ def render_image_scene_sharded(
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(rays_axis)),
+        in_specs=(P(), P(scene_axis), P(None, scene_axis), P(rays_axis)),
         out_specs=P(rays_axis, None),
     )
-    def _shard(scene_rep, row_starts):
+    def _shard(scene_rep, tables_local, packed_local, row_starts):
         from crt_tpu.renderer import make_tiler
 
         rx, ry, untile = make_tiler(rows_per, w, row_offset=row_starts[0])
@@ -140,14 +230,29 @@ def render_image_scene_sharded(
             scene_rep.cam_position, scene_rep.cam_rotation,
             scene_rep.cam_tan_half_fov, w, h, rx, ry,
         )
-        trace_fn = make_scene_sharded_trace_fn(scene_rep, mesh, scene_axis)
+        trace_fn = make_partitioned_trace_fn(
+            tables_local, scene_axis, local_backend
+        )
+        rows_fn = make_partitioned_rows_fn(
+            packed_local, shard_tris, scene_axis
+        )
         color = shade_wavefront(
             scene_rep, settings, trace_fn,
             origins.reshape(-1, 3), dirs.reshape(-1, 3),
             rx.astype(jnp.uint32), ry.astype(jnp.uint32),
+            rows_fn=rows_fn,
         )
         return untile(color)
 
+    # the heavy arrays were already consumed into tables/packed; ship a
+    # slim scene so no device replicates the full geometry
+    slim = scene.replace(
+        vertices=jnp.zeros((0, 3), jnp.float32),
+        vertex_normals=jnp.zeros((0, 3), jnp.float32),
+        vertex_uvs=jnp.zeros((0, 3), jnp.float32),
+        tri_vidx=jnp.zeros((0, 3), jnp.int32),
+        accel=None,
+    )
     row_starts = jnp.arange(0, h_pad, rows_per, dtype=jnp.int32)
-    img = jax.jit(_shard)(scene, row_starts)
+    img = jax.jit(_shard)(slim, tables, packed, row_starts)
     return img[:h]

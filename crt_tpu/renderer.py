@@ -18,7 +18,25 @@ import jax.numpy as jnp
 from crt_tpu.ops import camera as camera_ops
 from crt_tpu.ops import intersect as intersect_ops
 from crt_tpu.ops.shade import shade_wavefront
+from crt_tpu.ops.shade_iter import shade_wavefront_iter
 from crt_tpu.scene.types import RenderSettings, Scene
+
+
+def use_iterative_wavefront(scene: Scene, settings: RenderSettings) -> bool:
+    """Shading-strategy policy.
+
+    The iterative bank wavefront (crt_tpu.ops.shade_iter) bounds compile
+    size to O(depth) on *branching* Whitted trees; the unrolled recursion
+    stays optimal for linear ones (diffuse/constant: one level; pure
+    mirrors: a depth-long chain).
+    """
+    if settings.wavefront == "iter":
+        return True
+    if settings.wavefront == "recursive":
+        return False
+    branching = scene.has_refractive and scene.refractions_on \
+        and settings.max_ray_depth >= 2
+    return branching or scene.gi_on
 
 
 def make_trace_fn(scene: Scene, settings: RenderSettings):
@@ -40,16 +58,16 @@ def make_trace_fn(scene: Scene, settings: RenderSettings):
 
     backend = settings.backend
     if backend == "auto":
-        # The Pallas cluster-streaming kernel is the TPU fast path (bench:
-        # ~50x faster than brute force on the 14-01 scene); plain XLA brute
+        # The Pallas cluster kernel is the TPU fast path (bench: ~50x
+        # faster than brute force on the 14-01 scene); plain XLA brute
         # force everywhere else (CPU tests, interpret-less platforms).
         backend = "pallas" if jax.default_backend() in ("tpu", "axon") \
             else "bruteforce"
         if backend == "pallas" and not _pallas_tables_fit_vmem(scene):
-            # Cluster tables are VMEM-resident; beyond ~200k triangles they
-            # no longer fit (~16 MB/core) — fall back to the while-loop KD
-            # walk, which streams from HBM.
-            backend = "tree" if scene.accel is not None else "bruteforce"
+            # Cluster tables no longer fit VMEM (~16 MB/core) — switch to
+            # the two-level HBM-streaming kernel (supercluster pair list +
+            # pipelined table slices, crt_tpu.ops.pallas_stream).
+            backend = "pallas_stream"
 
     if backend == "bruteforce":
         tri = intersect_ops.build_triangle_data(
@@ -71,6 +89,10 @@ def make_trace_fn(scene: Scene, settings: RenderSettings):
         from crt_tpu.ops.pallas_trace import make_pallas_trace_fn
 
         return make_pallas_trace_fn(scene)
+    if backend == "pallas_stream":
+        from crt_tpu.ops.pallas_stream import make_stream_trace_fn
+
+        return make_stream_trace_fn(scene)
     raise ValueError(f"unknown intersection backend: {backend!r}")
 
 
@@ -140,10 +162,19 @@ def _render_flat(scene: Scene, settings: RenderSettings) -> jnp.ndarray:
     ry = ryf.astype(jnp.uint32)
 
     trace_fn = make_trace_fn(scene, settings)
+    use_iter = use_iterative_wavefront(scene, settings)
+    shade_fn = shade_wavefront_iter if use_iter else shade_wavefront
 
     R = rx.shape[0]
     tile_sz = TILE_H * TILE_W
     chunk = settings.chunk_pixels
+    if use_iter and not chunk:
+        # The bank pool multiplies every per-bounce buffer by B: bound the
+        # pool at ~1M lanes per chunk or a 1080p frame OOMs 15.75 GB HBM
+        # (B=8 x 2M rays x shadow wavefronts).
+        from crt_tpu.ops.shade_iter import default_banks
+
+        chunk = max(tile_sz, (1 << 20) // default_banks(scene, settings))
     if chunk and chunk < R:
         chunk = max(tile_sz, (chunk // tile_sz) * tile_sz)
         pad = (-R) % chunk
@@ -160,7 +191,7 @@ def _render_flat(scene: Scene, settings: RenderSettings) -> jnp.ndarray:
 
         def one_chunk(args):
             o, d, x, y, a = args
-            return shade_wavefront(scene, settings, trace_fn, o, d, x, y, a)
+            return shade_fn(scene, settings, trace_fn, o, d, x, y, a)
 
         color = jax.lax.map(
             one_chunk,
@@ -173,7 +204,7 @@ def _render_flat(scene: Scene, settings: RenderSettings) -> jnp.ndarray:
             ),
         ).reshape(-1, 3)[:R]
     else:
-        color = shade_wavefront(
+        color = shade_fn(
             scene, settings, trace_fn, origins, dirs, rx, ry
         )
     return untile(color)  # make_tiler's untile already crops to [h, w]

@@ -200,6 +200,8 @@ _SETTINGS_FIELDS = (
     "compat_hadamard_y",
     "backend",
     "chunk_pixels",
+    "wavefront",
+    "wavefront_banks",
 )
 
 
@@ -228,10 +230,13 @@ class RenderSettings:
     HEAD exactly.  The default (all off) implements the intended behavior.
 
     ``backend`` selects the intersection engine:
-      - "auto":  tree kernel when the scene has an AccelTree, else brute force
+      - "auto":  Pallas on TPU (VMEM-resident tables; switches to the
+        HBM-streaming variant beyond ~200k triangles), brute force elsewhere
       - "bruteforce": MXU-batched all-pairs intersection
       - "tree":  batched lax.while_loop KD traversal
-      - "pallas": Pallas tile-binning kernel (TPU fast path)
+      - "pallas": Pallas tile-binning cluster kernel (TPU fast path)
+      - "pallas_stream": two-level supercluster pair-list kernel streaming
+        tables HBM->VMEM (scenes beyond VMEM capacity)
     """
 
     max_ray_depth: int = DEFAULT_MAX_RAY_DEPTH
@@ -250,6 +255,18 @@ class RenderSettings:
     # for deep recursion (GI) the way the reference's bucket queue bounded
     # nothing but cache footprint (crt_renderer.cpp:157-199).
     chunk_pixels: int = 0
+    # Shading strategy for branching (refractive / GI) scenes:
+    #   "auto":      iterative bank wavefront when the Whitted tree branches
+    #                (refractions or GI on), unrolled recursion otherwise
+    #   "recursive": always unroll the recursion at trace time (2^depth
+    #                programs on refractive scenes — exact reference
+    #                summation order)
+    #   "iter":      always the depth-bounded bank wavefront (O(depth)
+    #                programs; see crt_tpu.ops.shade_iter)
+    wavefront: str = "auto"
+    # Bank count (wavefront capacity = banks * rays) for the iterative path;
+    # 0 = auto (2^min(max_ray_depth,3), +2*(K+1) with GI on).
+    wavefront_banks: int = 0
 
     @property
     def no_shadows(self) -> bool:

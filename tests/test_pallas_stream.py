@@ -1,0 +1,106 @@
+"""HBM-streaming two-level intersection (crt_tpu.ops.pallas_stream).
+
+Kernel correctness in interpret mode vs the brute-force oracle, pair-list
+semantics (tile-major grouping, padding, overflow reporting), and the
+zero-pair-tile miss path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from crt_tpu.ops import pallas_stream as ps
+from crt_tpu.ops.intersect import build_triangle_data, closest_hit_bruteforce
+from crt_tpu.ops.pallas_trace import build_cluster_tables
+from crt_tpu.renderer import make_tiler
+from crt_tpu.ops import camera as camera_ops
+from crt_tpu.scene.procedural import make_test_scene
+
+TR = 256  # small tiles keep interpret mode fast
+
+
+def _scene_rays(num_quads=24, w=32, h=16):
+    scene = make_test_scene(width=w, height=h, num_quads=num_quads,
+                            with_reflective=False)
+    rx, ry, _ = make_tiler(h, w)
+    o, d = camera_ops.generate_rays(
+        scene.cam_position, scene.cam_rotation, scene.cam_tan_half_fov,
+        w, h, rx, ry,
+    )
+    return scene, o, d
+
+
+def test_supercluster_boxes_cover_clusters():
+    scene, _, _ = _scene_rays()
+    tables = build_cluster_tables(scene)
+    padded, sc_min, sc_max = ps.build_supercluster_boxes(tables)
+    assert padded.n.shape[0] % ps.SC_CLUSTERS == 0
+    L2 = sc_min.shape[0]
+    cl_min = np.asarray(padded.cl_min).reshape(L2, ps.SC_CLUSTERS, 3)
+    cl_max = np.asarray(padded.cl_max).reshape(L2, ps.SC_CLUSTERS, 3)
+    real = cl_min[..., 0] < 1e38  # padded clusters have inverted boxes
+    assert (np.where(real[..., None], cl_min, np.inf)
+            >= np.asarray(sc_min)[:, None] - 1e-6).all()
+    assert (np.where(real[..., None], cl_max, -np.inf)
+            <= np.asarray(sc_max)[:, None] + 1e-6).all()
+
+
+def test_bin_pairs_tile_major_and_padded():
+    scene, o, d = _scene_rays()
+    tables, sc_min, sc_max = ps.build_supercluster_boxes(
+        build_cluster_tables(scene)
+    )
+    cap = 64
+    pt, psc, valid, total = ps.bin_pairs(sc_min, sc_max, o, d, cap, TR)
+    pt, psc, valid = map(np.asarray, (pt, psc, valid))
+    total = int(total)
+    assert valid.sum() == min(total, cap)
+    live = pt[valid > 0]
+    assert (np.diff(live) >= 0).all()  # tile-major grouping
+    if total < cap:  # padding repeats the last valid pair
+        assert (pt[total:] == pt[total - 1]).all()
+        assert (psc[total:] == psc[total - 1]).all()
+
+
+def test_stream_matches_bruteforce_interpret():
+    scene, o, d = _scene_rays(num_quads=24)
+    trace = ps.make_stream_trace_fn(scene, tile_rays=TR, interpret=True)
+    hit = trace(o, d)
+
+    tri = build_triangle_data(
+        scene.vertices, scene.tri_vidx,
+        scene.mat_backface[scene.tri_material],
+    )
+    ref = closest_hit_bruteforce(tri, o, d)
+
+    ht, rt = np.asarray(hit.t), np.asarray(ref.t)
+    m = np.isfinite(rt)
+    np.testing.assert_allclose(ht[m], rt[m], rtol=1e-5, atol=1e-5)
+    assert np.isinf(ht[~m]).all()
+    # triangle ids must agree except on exact-distance ties, where the two
+    # backends' first-wins rules may legitimately pick different winners
+    tri_h, tri_r = np.asarray(hit.tri), np.asarray(ref.tri)
+    disagree = tri_h != tri_r
+    assert (np.abs(ht[disagree] - rt[disagree]) <= 1e-5).all()
+    assert disagree.mean() < 0.01
+
+
+def test_stream_active_mask_and_overflow_report():
+    scene, o, d = _scene_rays(num_quads=8)
+    tables, sc_min, sc_max = ps.build_supercluster_boxes(
+        build_cluster_tables(scene)
+    )
+    # overflow: cap of 1 pair must report the true total
+    _, _, valid, total = ps.bin_pairs(sc_min, sc_max, o, d, 1, TR)
+    assert int(total) >= 1
+    assert int(np.asarray(valid).sum()) == 1
+
+    # all-inactive wavefront -> everything is a miss
+    active = jnp.zeros(o.shape[0], bool)
+    hit, total2 = ps.closest_hit_stream_flat(
+        jax.tree.map(jax.lax.stop_gradient, tables), sc_min, sc_max,
+        o, d, active, pairs_cap=64, tile_rays=TR, interpret=True,
+    )
+    assert int(total2) == 0
+    assert np.isinf(np.asarray(hit.t)).all()
+    assert (np.asarray(hit.tri) == -1).all()

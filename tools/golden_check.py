@@ -2,7 +2,7 @@
 
 Runs on whatever backend jax picks (TPU in this environment).  Usage:
 
-    python tools/golden_check.py [case-substring ...]
+    python tools/golden_check.py [case-substring ...] [--json out.json]
 """
 
 from __future__ import annotations
@@ -23,7 +23,14 @@ def main(argv):
     from crt_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
-    filters = [a for a in argv if not a.startswith("-")]
+    argv = list(argv)
+    skip = set()
+    if "--json" in argv:
+        skip.add(argv.index("--json") + 1)
+    filters = [
+        a for i, a in enumerate(argv)
+        if not a.startswith("-") and i not in skip
+    ]
     cases = golden.LEGACY_GOLDEN_CASES + golden.HEAD_GOLDEN_CASES
     if filters:
         cases = [c for c in cases if any(f in c[0] for f in filters)]
@@ -54,6 +61,21 @@ def main(argv):
 
     worst = min(results, key=lambda r: r[1]) if results else None
     print(f"\n{len(results)} cases, worst: {worst}")
+
+    if "--json" in argv:
+        import json
+
+        out = argv[argv.index("--json") + 1]
+        with open(out, "w") as f:
+            json.dump(
+                [
+                    {"name": n, "frac": round(fr, 5), "mae": round(m, 6)}
+                    for n, fr, m in results
+                ],
+                f,
+                indent=1,
+            )
+        print(f"wrote {out}")
 
 
 if __name__ == "__main__":
