@@ -61,6 +61,7 @@ def _kernel(tri_ref, g_ref, out_ref, *, t_blk):
         onehot,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # f32 grads, not bf16 passes
     )
 
 

@@ -692,11 +692,13 @@ def closest_hit_tables(tables: ClusterTables, origins, dirs,
         tid = jnp.concatenate([tid, jnp.full((pad,), -1, jnp.int32)])
     chunks = (L * S + pad) // chunk_slots
 
+    hi = jax.lax.Precision.HIGHEST  # TPU einsum defaults to bf16 MXU
+
     def one_chunk(carry, xs):
         best_t, best_tri = carry
         cn, cnv0, cm, cc, cnobf, ctid = xs  # [chunk, ...]
-        nd = jnp.einsum("sc,rc->rs", cn, d)  # [R, chunk]
-        no = jnp.einsum("sc,rc->rs", cn, o)
+        nd = jnp.einsum("sc,rc->rs", cn, d, precision=hi)  # [R, chunk]
+        no = jnp.einsum("sc,rc->rs", cn, o, precision=hi)
         opd = cnv0[None, :] - no
         not_parallel = jnp.abs(nd) >= PARALLEL_EPS
         front = opd < 0.0
@@ -704,8 +706,10 @@ def closest_hit_tables(tables: ClusterTables, origins, dirs,
         t = opd / jnp.where(not_parallel, nd, 1.0)
         valid = not_parallel & face_ok & (t >= 0.0)
         for e in range(3):
-            md = jnp.einsum("sc,rc->rs", cm[:, 3 * e : 3 * e + 3], d)
-            mo = jnp.einsum("sc,rc->rs", cm[:, 3 * e : 3 * e + 3], o)
+            md = jnp.einsum("sc,rc->rs", cm[:, 3 * e : 3 * e + 3], d,
+                            precision=hi)
+            mo = jnp.einsum("sc,rc->rs", cm[:, 3 * e : 3 * e + 3], o,
+                            precision=hi)
             valid = valid & ((mo - cc[None, :, e]) + t * md >= 0.0)
         t = jnp.where(valid & (ctid[None, :] >= 0), t, INF)
         ch_best = jnp.min(t, axis=1)

@@ -111,15 +111,18 @@ def _place_children(pool_fields, dead, cand_act, cand_fields, dropped):
 
     mf = match.astype(jnp.float32)
     mu = match.astype(jnp.uint32)
+    # HIGHEST: TPU einsum defaults to bf16 MXU passes, which would round
+    # every placed child's origin/direction/weight to bf16
+    hi = jax.lax.Precision.HIGHEST
 
     out = []
     for old, cand in zip(pool_fields, cand_fields):
         if old.dtype == jnp.uint32:
             g = jnp.einsum("ijr,ir->jr", mu, cand)
         elif old.ndim == 3:
-            g = jnp.einsum("ijr,irc->jrc", mf, cand)
+            g = jnp.einsum("ijr,irc->jrc", mf, cand, precision=hi)
         else:
-            g = jnp.einsum("ijr,ir->jr", mf, cand)
+            g = jnp.einsum("ijr,ir->jr", mf, cand, precision=hi)
         mask = has_src if old.ndim == 2 else has_src[..., None]
         out.append(jnp.where(mask, g.astype(old.dtype), old))
     return out, dead & ~has_src, has_src, dropped

@@ -94,8 +94,11 @@ def _leaf_intersect(tri: TriangleGather, leaf_tri_ids, o, d, best_t, best_tri):
     face_ok = front | ~bf
     t = opd / jnp.where(not_parallel, nd, 1.0)
 
-    md = jnp.einsum("rlij,rj->rli", m, d)  # [R, L, 3]
-    mo = jnp.einsum("rlij,rj->rli", m, o)
+    # HIGHEST: TPU einsum defaults to bf16 MXU passes — edge-test
+    # cancellation needs full f32 (see vecmath.rotate_rows)
+    hi = jax.lax.Precision.HIGHEST
+    md = jnp.einsum("rlij,rj->rli", m, d, precision=hi)  # [R, L, 3]
+    mo = jnp.einsum("rlij,rj->rli", m, o, precision=hi)
     edge = (mo - c) + t[..., None] * md
     inside = jnp.all(edge >= 0.0, axis=-1)
 

@@ -41,7 +41,9 @@ class CameraRig(NamedTuple):
 
     def translate_local(self, v) -> "CameraRig":
         v = jnp.asarray(v, jnp.float32)
-        return self._replace(position=self.position + v @ self.rotation)
+        return self._replace(
+            position=self.position + vecmath.rotate_rows(v, self.rotation)
+        )
 
     def dolly(self, distance) -> "CameraRig":
         return self.translate_local(jnp.asarray([0.0, 0.0, distance]))
@@ -67,7 +69,9 @@ class CameraRig(NamedTuple):
                     for k in range(3):
                         r = r.at[i, j].add(r[i, k] * m[k, j])
             return self._replace(rotation=r)
-        return self._replace(rotation=self.rotation @ m)
+        # rows of the rotation are vectors: compose via the exact-f32
+        # rotate_rows (TPU `@` defaults to bf16 MXU passes)
+        return self._replace(rotation=vecmath.rotate_rows(self.rotation, m))
 
     def pan(self, angle, **kw) -> "CameraRig":
         return self._rotate(vecmath.rotation_y(jnp.float32(angle)), **kw)
@@ -82,7 +86,7 @@ class CameraRig(NamedTuple):
         anchor = jnp.asarray(anchor, jnp.float32)
         out = self._rotate(m, **kw)
         return out._replace(
-            position=(self.position - anchor) @ m + anchor
+            position=vecmath.rotate_rows(self.position - anchor, m) + anchor
         )
 
     def pan_around(self, angle, anchor, **kw) -> "CameraRig":
