@@ -41,6 +41,11 @@ HEAD_GOLDEN_CASES = [
     ("12-01-textures/scene0.crtscene", "12-01-textures-scene0", {}),
     ("12-01-textures/scene1.crtscene", "12-01-textures-scene1", {}),
     ("12-01-textures/scene2.crtscene", "12-01-textures-scene2", {}),
+    # scene3's residual (~0.4% of pixels, all on the dragon JPEG) is
+    # irreducible: the golden's texel colors match NO texel of PIL's
+    # decode in a 3x3 neighborhood (stb_image vs libjpeg IDCT/upsampling
+    # differences), amplified by the quad's near-integer texel-per-pixel
+    # mapping putting ~every boundary pixel exactly on a texel edge.
     ("12-01-textures/scene3.crtscene", "12-01-textures-scene3", {}),
     ("12-01-textures/scene4.crtscene", "12-01-textures-scene4", {}),
     ("13-01-optimizations/scene0.crtscene", "13-01-optimizations", {"compat_no_shadows": True}),
