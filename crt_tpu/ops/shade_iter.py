@@ -109,22 +109,22 @@ def _place_children(pool_fields, dead, cand_act, cand_fields, dropped):
     spawned = jnp.sum(cand_act, dtype=jnp.int32)
     dropped = dropped + (spawned - placed)
 
-    mf = match.astype(jnp.float32)
-    mu = match.astype(jnp.uint32)
-    # HIGHEST: TPU einsum defaults to bf16 MXU passes, which would round
-    # every placed child's origin/direction/weight to bf16
-    hi = jax.lax.Precision.HIGHEST
-
+    # Exact select-accumulation over source banks: at most one source bank
+    # matches a (dst, column) slot, so iterating i with where-overwrite is
+    # exact for EVERY dtype.  (An einsum here would be a dot: bf16 MXU
+    # passes for f32 fields by default, and integer dots may lower through
+    # float — either silently corrupts child ray data / uint32 PCG states.
+    # B is tiny, so B selects are cheap and fuse.)
     out = []
     for old, cand in zip(pool_fields, cand_fields):
-        if old.dtype == jnp.uint32:
-            g = jnp.einsum("ijr,ir->jr", mu, cand)
-        elif old.ndim == 3:
-            g = jnp.einsum("ijr,irc->jrc", mf, cand, precision=hi)
-        else:
-            g = jnp.einsum("ijr,ir->jr", mf, cand, precision=hi)
+        g = jnp.zeros_like(old)
+        for i in range(B):
+            m = match[i]  # [Bj, R]
+            if old.ndim == 3:
+                m = m[..., None]
+            g = jnp.where(m, cand[i][None], g)
         mask = has_src if old.ndim == 2 else has_src[..., None]
-        out.append(jnp.where(mask, g.astype(old.dtype), old))
+        out.append(jnp.where(mask, g, old))
     return out, dead & ~has_src, has_src, dropped
 
 
