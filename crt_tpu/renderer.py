@@ -169,12 +169,18 @@ def _render_flat(scene: Scene, settings: RenderSettings) -> jnp.ndarray:
     tile_sz = TILE_H * TILE_W
     chunk = settings.chunk_pixels
     if use_iter and not chunk:
-        # The bank pool multiplies every per-bounce buffer by B: bound the
-        # pool at ~1M lanes per chunk or a 1080p frame OOMs 15.75 GB HBM
-        # (B=8 x 2M rays x shadow wavefronts).
+        # The bank pool multiplies every per-bounce buffer by B.  The
+        # dominant HBM term is the per-bounce shadow work: L lights x B x R
+        # lanes, and for refractive scenes the transmissive marching runs
+        # max_depth+1 such traces — bound those at ~1M pool lanes per chunk
+        # (a 1080p frame OOMs 15.75 GB HBM otherwise).  Without shadow
+        # traces the pool itself is the only multiplier and 4x bigger
+        # chunks just amortize per-trace binning/launch overhead.
         from crt_tpu.ops.shade_iter import default_banks
 
-        chunk = max(tile_sz, (1 << 20) // default_banks(scene, settings))
+        shadow_traces = scene.num_lights > 0 and not settings.no_shadows
+        budget = (1 << 20) if shadow_traces else (1 << 22)
+        chunk = max(tile_sz, budget // default_banks(scene, settings))
     if chunk and chunk < R:
         chunk = max(tile_sz, (chunk // tile_sz) * tile_sz)
         pad = (-R) % chunk
