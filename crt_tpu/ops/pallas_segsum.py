@@ -36,12 +36,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu  # noqa: F401 (platform dep)
 
-R_TILE = 1024  # rays per grid step
+R_TILE = 4096  # rays per grid step (large: ~1 us/step overhead floor;
+#   the [r_tile, T_BLK] bf16 one-hot must stay within VMEM)
 T_BLK = 1024  # segment columns per grid step ([R_TILE, T_BLK] f32 = 4 MB)
 MAX_SEGMENTS = 65536  # beyond this the g re-reads outweigh the scatter
 
 
-def _kernel(tri_ref, g_ref, out_ref, *, t_blk):
+def _kernel(band_lo_ref, band_hi_ref, tri_ref, g_ref, out_ref, *, t_blk,
+            r_tile):
     """out[K, T_BLK] += g[K, R_TILE] @ onehot(tri)[R_TILE, T_BLK].
 
     Precision: the one-hot is EXACT in bf16 (entries are 0/1), so instead
@@ -49,6 +51,12 @@ def _kernel(tri_ref, g_ref, out_ref, *, t_blk):
     split g = hi + lo into two bf16 halves and accumulated through two
     1-pass MXU matmuls — ~1e-6 relative error at ~1 extra matmul, vs
     1.6e-3 for plain bf16 (measured).
+
+    Banding: (band_lo, band_hi)[i] bound ray tile i's segment ids.  With
+    Morton-rank-remapped ids (segment_accumulate_banded) a pixel tile's
+    hits span a narrow band, so most (segment-block, ray-tile) grid steps
+    prove empty from SMEM and skip both the one-hot construction (the R x
+    T_pad dominant cost) and the matmuls.
     """
     j = pl.program_id(0)  # segment-tile index (outer)
     i = pl.program_id(1)  # ray-tile index (inner, accumulating)
@@ -57,50 +65,84 @@ def _kernel(tri_ref, g_ref, out_ref, *, t_blk):
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    tri = tri_ref[0]  # [R_TILE] i32 (-1 padding never matches)
-    g = g_ref[...]  # [K, R_TILE] f32
-
-    cols = jax.lax.broadcasted_iota(jnp.int32, (R_TILE, t_blk), 1)
-    onehot = (tri[:, None] == cols + j * t_blk).astype(jnp.bfloat16)
-
-    dn = (((1,), (0,)), ((), ()))
-    g_hi = g.astype(jnp.bfloat16)
-    g_lo = (g - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    acc = jax.lax.dot_general(
-        g_hi, onehot, dn, preferred_element_type=jnp.float32
+    overlaps = jnp.logical_and(
+        band_lo_ref[i] < (j + 1) * t_blk, band_hi_ref[i] >= j * t_blk
     )
-    acc += jax.lax.dot_general(
-        g_lo, onehot, dn, preferred_element_type=jnp.float32
-    )
-    out_ref[...] += acc
+
+    @pl.when(overlaps)
+    def _work():
+        tri = tri_ref[0]  # [R_TILE] i32 (-1 padding never matches)
+        g = g_ref[...]  # [K, R_TILE] f32
+
+        cols = jax.lax.broadcasted_iota(jnp.int32, (r_tile, t_blk), 1)
+        onehot = (tri[:, None] == cols + j * t_blk).astype(jnp.bfloat16)
+
+        dn = (((1,), (0,)), ((), ()))
+        g_hi = g.astype(jnp.bfloat16)
+        g_lo = (g - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = jax.lax.dot_general(
+            g_hi, onehot, dn, preferred_element_type=jnp.float32
+        )
+        acc += jax.lax.dot_general(
+            g_lo, onehot, dn, preferred_element_type=jnp.float32
+        )
+        out_ref[...] += acc
 
 
 def segment_accumulate_matmul(
     tri: jnp.ndarray,  # [R] i32 segment ids, -1 (or any out-of-range) = skip
     g: jnp.ndarray,  # [K, R] f32 cotangents
     num_segments: int,
+    r_tile: int = R_TILE,
 ) -> jnp.ndarray:
-    """MXU segment-sum: returns [K, num_segments] f32."""
+    """MXU segment-sum: returns [K, num_segments] f32.
+
+    ``r_tile`` sets the rays-per-grid-step: per-step overhead (~1 us) was
+    the measured floor at 1024 (8160 steps = ~9 ms with 94% of steps
+    band-skipped), so the default is large.
+    """
     K, R = g.shape
     t_pad = max(-(-num_segments // T_BLK) * T_BLK, T_BLK)
-    r_pad = (-R) % R_TILE
+    r_pad = (-R) % r_tile
     if r_pad:
         tri = jnp.concatenate([tri, jnp.full((r_pad,), -1, jnp.int32)])
         g = jnp.concatenate([g, jnp.zeros((K, r_pad), g.dtype)], axis=1)
-    steps_r = (R + r_pad) // R_TILE
+    steps_r = (R + r_pad) // r_tile
     steps_t = t_pad // T_BLK
 
+    tri = tri.astype(jnp.int32)
+    tiles = tri.reshape(steps_r, r_tile)
+    live = tiles >= 0
+    band_lo = jnp.where(live, tiles, jnp.int32(2**30)).min(axis=1)
+    band_hi = jnp.where(live, tiles, -1).max(axis=1)
+
     out = pl.pallas_call(
-        functools.partial(_kernel, t_blk=T_BLK),
-        grid=(steps_t, steps_r),  # ray axis innermost: out block stays put
-        in_specs=[
-            pl.BlockSpec((1, R_TILE), lambda j, i: (0, i)),
-            pl.BlockSpec((K, R_TILE), lambda j, i: (0, i)),
-        ],
-        out_specs=pl.BlockSpec((K, T_BLK), lambda j, i: (0, j)),
+        functools.partial(_kernel, t_blk=T_BLK, r_tile=r_tile),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # band_lo, band_hi
+            grid=(steps_t, steps_r),  # ray axis innermost: out block stays
+            in_specs=[
+                pl.BlockSpec((1, r_tile), lambda j, i, lo, hi: (0, i)),
+                pl.BlockSpec((K, r_tile), lambda j, i, lo, hi: (0, i)),
+            ],
+            out_specs=pl.BlockSpec((K, T_BLK), lambda j, i, lo, hi: (0, j)),
+        ),
         out_shape=jax.ShapeDtypeStruct((K, t_pad), jnp.float32),
-    )(tri[None].astype(jnp.int32), g.astype(jnp.float32))
+    )(band_lo, band_hi, tri[None], g.astype(jnp.float32))
     return out[:, :num_segments]
+
+
+def segment_accumulate_banded(
+    tri, g, num_segments: int, rank: jnp.ndarray, r_tile: int = R_TILE
+) -> jnp.ndarray:
+    """Segment-sum with Morton-rank remapping: ``rank[t]`` is a permutation
+    of segment ids ordering them by spatial (cluster) locality, so each
+    pixel-coherent ray tile hits a narrow rank band and the kernel's band
+    test skips most grid steps.  Returns [K, num_segments] in ORIGINAL ids.
+    """
+    ranked = jnp.where(tri >= 0, rank[jnp.maximum(tri, 0)], -1)
+    out_ranked = segment_accumulate_matmul(ranked, g, num_segments, r_tile)
+    return out_ranked[:, rank]
 
 
 def use_matmul_segsum(num_segments: int) -> bool:
@@ -140,3 +182,34 @@ def _pg_bwd(res, g):
 
 
 packed_gather.defvjp(_pg_fwd, _pg_bwd)
+
+
+@jax.custom_vjp
+def packed_gather_ranked(packed, tri, rank):
+    """``packed[:, max(tri, 0)]`` whose VJP uses the banded segment-matmul.
+
+    ``tri`` may carry -1 for miss lanes: the forward clamps them to id 0
+    (their outputs are masked downstream and their cotangents are exactly
+    zero — asserted by tests/test_segsum.py's end-to-end parity on a
+    scene with background pixels), and the backward DROPS them so they
+    cannot widen a ray tile's segment band.  ``rank`` is a [T]
+    spatial-locality permutation (Morton cluster rank) of the segment
+    ids; see segment_accumulate_banded.
+    """
+    return packed[:, jnp.maximum(tri, 0)]
+
+
+def _pgr_fwd(packed, tri, rank):
+    return packed[:, jnp.maximum(tri, 0)], (tri, rank, packed.shape[1])
+
+
+def _pgr_bwd(res, g):
+    tri, rank, T = res
+    if use_matmul_segsum(T) and g.ndim == 2 and tri.ndim == 1:
+        grad = segment_accumulate_banded(tri, g, T, rank)
+    else:
+        grad = jnp.zeros((g.shape[0], T), g.dtype).at[:, tri].add(g)
+    return grad, None, None
+
+
+packed_gather_ranked.defvjp(_pgr_fwd, _pgr_bwd)

@@ -151,12 +151,32 @@ def hit_attributes(scene, origins, dirs, hit: Hit,
     any_smooth = scene.any_smooth or force_all
 
     if rows_fn is None:
-        from crt_tpu.ops.pallas_segsum import packed_gather
+        from crt_tpu.ops.pallas_segsum import (
+            packed_gather,
+            packed_gather_ranked,
+            use_matmul_segsum,
+        )
 
         packed = build_packed(scene, force_all)
         # the one big gather; its VJP is the MXU segment-matmul (the XLA
-        # scatter-add here dominated round-1's backward pass)
-        rows = packed_gather(packed, tri)  # [K, R]
+        # scatter-add here dominated round-1's backward pass).  When the
+        # kernel will engage, hand it the Morton cluster rank of each
+        # triangle so pixel-coherent ray tiles map to narrow segment bands
+        # and the kernel skips most of its grid.
+        T = packed.shape[1]
+        if tri.ndim == 1 and use_matmul_segsum(T) and T > 0:
+            tri_raw = jax.lax.stop_gradient(hit.tri)
+            from crt_tpu.ops.pallas_trace import morton_order
+
+            verts = jax.lax.stop_gradient(scene.vertices)
+            centroids = verts[scene.tri_vidx].mean(axis=1)
+            order = morton_order(centroids)  # [T] rank -> id
+            rank = jnp.zeros((T,), jnp.int32).at[order].set(
+                jnp.arange(T, dtype=jnp.int32)
+            )
+            rows = packed_gather_ranked(packed, tri_raw, rank)  # [K, R]
+        else:
+            rows = packed_gather(packed, tri)  # [K, R]
     else:
         rows = rows_fn(tri)
 

@@ -85,3 +85,72 @@ def test_render_grad_unchanged_by_custom_vjp():
         fd = (loss(li) - loss(lo)) / (2 * eps)
         # rtol bounded by f32 cancellation in the FD numerator
         np.testing.assert_allclose(float(g[i]), float(fd), rtol=1e-2)
+
+
+def test_banded_segsum_matches_scatter(monkeypatch):
+    """Rank-remapped (banded) accumulation must equal the plain scatter in
+    ORIGINAL segment ids, with ids clustered per ray tile (the skip path)
+    and scattered (no skip) alike."""
+    import functools
+
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call", functools.partial(orig, interpret=True)
+    )
+
+    rng = np.random.default_rng(11)
+    R, K, T = 4096, 5, 700
+    rank = jnp.asarray(rng.permutation(T).astype(np.int32))
+    # tile-banded ids: each 1024-ray tile draws from a narrow id window
+    tri = np.empty(R, np.int32)
+    for t0 in range(0, R, 1024):
+        lo = rng.integers(0, T - 60)
+        tri[t0 : t0 + 1024] = rng.integers(lo, lo + 60, size=1024)
+    tri[::97] = -1  # sprinkle dead lanes
+    g = rng.normal(size=(K, R)).astype(np.float32)
+
+    out = np.asarray(
+        ps.segment_accumulate_banded(
+            jnp.asarray(tri), jnp.asarray(g), T, rank
+        )
+    )
+    expected = _reference(tri, g, T)
+    np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-4)
+
+
+def test_banded_vjp_drops_miss_lanes_exactly(monkeypatch):
+    """packed_gather_ranked's VJP band-drops miss lanes (tri = -1).  That
+    is exact ONLY if miss-lane cotangents are exactly zero — assert it by
+    comparing full render gradients (scene with plenty of background
+    pixels) between the interpret-mode banded kernel and the XLA scatter."""
+    import functools
+
+    from jax.experimental import pallas as pl
+
+    from crt_tpu import RenderSettings, render_image
+    from crt_tpu.scene.procedural import make_test_scene
+
+    scene = make_test_scene(width=32, height=24, num_quads=2)
+
+    def grads():
+        def loss(v):
+            img = render_image(
+                scene.replace(vertices=v), RenderSettings(), jit=False
+            )
+            return jnp.sum(img ** 2)
+
+        return np.asarray(jax.grad(loss)(scene.vertices))
+
+    monkeypatch.setenv("CRT_SEGSUM", "scatter")
+    g_scatter = grads()
+
+    monkeypatch.setenv("CRT_SEGSUM", "matmul")
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call", functools.partial(orig, interpret=True)
+    )
+    g_kernel = grads()
+
+    np.testing.assert_allclose(g_kernel, g_scatter, rtol=2e-6, atol=1e-6)
