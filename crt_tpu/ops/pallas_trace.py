@@ -522,17 +522,20 @@ def closest_hit_pallas_flat(
 
 def make_pallas_trace_fn(scene, tile_rays: int | None = None,
                          interpret: bool = False,
-                         use_occlusion_kernel: bool = False):
+                         use_occlusion_kernel: bool = False,
+                         cluster_size: int | None = None):
     """trace_fn factory for the Pallas backend.
 
     ``use_occlusion_kernel`` exposes the any-hit early-exit kernel as
     ``trace.occluded`` — measured SLOWER on the course benchmark scene (the
     serial scf.while blocks Mosaic's cluster-load pipelining and lit tiles
     walk the full list anyway), so it is off by default; scenes with heavy
-    occlusion may profit.
+    occlusion may profit.  ``cluster_size`` (default CLUSTER_SIZE) trades
+    binning-mask width against per-cluster test burst size (the kernel is
+    shape-agnostic over the cluster axis).
     """
     tile_rays = tile_rays or TILE_RAYS
-    tables = build_cluster_tables(scene)
+    tables = build_cluster_tables(scene, cluster_size)
     tables = jax.tree.map(jax.lax.stop_gradient, tables)
 
     def trace(origins, dirs, active=None):
