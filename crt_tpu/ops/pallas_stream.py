@@ -86,10 +86,17 @@ def build_supercluster_boxes(tables: ClusterTables):
 
 
 def bin_pairs(sc_min, sc_max, origins, dirs, pairs_cap: int,
-              tile_rays: int = TILE_RAYS, active=None):
+              tile_rays: int = TILE_RAYS, active=None, cl_min=None,
+              cl_max=None):
     """Phase A: tile-major (tile, supercluster) interaction pairs.
 
-    Returns (pair_tile [P], pair_sc [P], pair_valid [P], total_pairs []).
+    Returns (pair_tile [P], pair_sc [P], pair_valid [P], total_pairs [],
+    pair_bits [P] uint32).  ``pair_bits`` (when cl_min/cl_max given, the
+    [L2*SC, 3] member-cluster boxes) flags which of the pair's SC_CLUSTERS
+    member clusters actually overlap the tile frustum — superclusters are
+    coarse, so typically only a fraction of members survive; the kernel
+    skips the rest (and the cluster-axis padding, whose inverted boxes
+    never overlap) per bit.  Without boxes, all bits set.
     """
     tiles = origins.shape[0] // tile_rays
     o = origins.reshape(tiles, tile_rays, 3)
@@ -133,13 +140,32 @@ def bin_pairs(sc_min, sc_max, origins, dirs, pairs_cap: int,
     last_sc = pair_sc[jnp.maximum(total - 1, 0)]
     pair_tile = jnp.where(valid, pair_tile, last_tile)
     pair_sc = jnp.where(valid, pair_sc, last_sc)
-    return pair_tile, pair_sc, valid.astype(jnp.int32), total
+
+    if cl_min is None:
+        pair_bits = jnp.full((pairs_cap,), 0xFFFFFFFF, jnp.uint32)
+    else:
+        sc = SC_CLUSTERS
+        L2b = cl_min.shape[0] // sc
+        mb_min = cl_min.reshape(L2b, sc, 3)[pair_sc]  # [P, SC, 3]
+        mb_max = cl_max.reshape(L2b, sc, 3)[pair_sc]
+        member = _frustum_box_mask(
+            o_lo[pair_tile], o_hi[pair_tile],
+            d_lo[pair_tile], d_hi[pair_tile],
+            mb_min, mb_max,
+        )  # [P, SC] (bmin/bmax carry the leading P batch dim)
+        weights = (jnp.uint32(1) << jnp.arange(sc, dtype=jnp.uint32))[None]
+        pair_bits = jnp.sum(
+            jnp.where(member, weights, jnp.uint32(0)), axis=1,
+            dtype=jnp.uint32,
+        )
+    return pair_tile, pair_sc, valid.astype(jnp.int32), total, pair_bits
 
 
 def _stream_kernel(
     pair_tile_ref,  # [P] SMEM (scalar prefetch)
     pair_sc_ref,  # [P] SMEM
     pair_valid_ref,  # [P] SMEM
+    pair_bits_ref,  # [P] SMEM uint32 — member-cluster survival bitmask
     o_ref,  # [1, 3, TR] VMEM — the pair's ray tile
     d_ref,  # [1, 3, TR] VMEM
     n_ref,  # [SC_CLUSTERS, 16, 3] VMEM — streamed supercluster slice
@@ -168,8 +194,23 @@ def _stream_kernel(
     def _work():
         ox, oy, oz = o_ref[0, 0:1, :], o_ref[0, 1:2, :], o_ref[0, 2:3, :]
         dx, dy, dz = d_ref[0, 0:1, :], d_ref[0, 1:2, :], d_ref[0, 2:3, :]
+        bits = pair_bits_ref[p]
 
         def body(ci, carry):
+            # Phase A flags which member clusters can touch this tile's
+            # frustum (superclusters are coarse — often only a fraction
+            # survive); the scalar core branches past the 16-triangle test
+            # burst for culled members.  Padding clusters (inverted AABBs)
+            # are culled for free the same way.
+            bit_on = (
+                jax.lax.shift_right_logical(bits, ci.astype(jnp.uint32))
+                & jnp.uint32(1)
+            ) > 0
+            return jax.lax.cond(
+                bit_on, lambda c: _test_cluster(ci, c), lambda c: c, carry
+            )
+
+        def _test_cluster(ci, carry):
             best_t, best_tri = carry
             n = n_ref[ci]  # [16, 3]
             nd = n[:, 0:1] * dx + n[:, 1:2] * dy + n[:, 2:3] * dz
@@ -233,8 +274,9 @@ def closest_hit_stream_flat(
     tiles = R // tile_rays
     L2 = sc_min.shape[0]
 
-    pair_tile, pair_sc, pair_valid, total = bin_pairs(
-        sc_min, sc_max, origins, dirs, pairs_cap, tile_rays, active
+    pair_tile, pair_sc, pair_valid, total, pair_bits = bin_pairs(
+        sc_min, sc_max, origins, dirs, pairs_cap, tile_rays, active,
+        cl_min=tables.cl_min, cl_max=tables.cl_max,
     )
 
     o_t = origins.reshape(tiles, tile_rays, 3).swapaxes(1, 2)
@@ -242,21 +284,25 @@ def closest_hit_stream_flat(
 
     sc = SC_CLUSTERS
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # pair_tile, pair_sc, pair_valid
+        num_scalar_prefetch=4,  # pair_tile, pair_sc, pair_valid, pair_bits
         grid=(pairs_cap,),
         in_specs=[
-            pl.BlockSpec((1, 3, tile_rays), lambda p, pt, ps, pv: (pt[p], 0, 0)),
-            pl.BlockSpec((1, 3, tile_rays), lambda p, pt, ps, pv: (pt[p], 0, 0)),
-            pl.BlockSpec((sc, 16, 3), lambda p, pt, ps, pv: (ps[p], 0, 0)),
-            pl.BlockSpec((sc, 16), lambda p, pt, ps, pv: (ps[p], 0)),
-            pl.BlockSpec((sc, 16, 9), lambda p, pt, ps, pv: (ps[p], 0, 0)),
-            pl.BlockSpec((sc, 16, 3), lambda p, pt, ps, pv: (ps[p], 0, 0)),
-            pl.BlockSpec((sc, 16), lambda p, pt, ps, pv: (ps[p], 0)),
-            pl.BlockSpec((sc, 16), lambda p, pt, ps, pv: (ps[p], 0)),
+            pl.BlockSpec((1, 3, tile_rays),
+                         lambda p, pt, ps, pv, pb: (pt[p], 0, 0)),
+            pl.BlockSpec((1, 3, tile_rays),
+                         lambda p, pt, ps, pv, pb: (pt[p], 0, 0)),
+            pl.BlockSpec((sc, 16, 3), lambda p, pt, ps, pv, pb: (ps[p], 0, 0)),
+            pl.BlockSpec((sc, 16), lambda p, pt, ps, pv, pb: (ps[p], 0)),
+            pl.BlockSpec((sc, 16, 9), lambda p, pt, ps, pv, pb: (ps[p], 0, 0)),
+            pl.BlockSpec((sc, 16, 3), lambda p, pt, ps, pv, pb: (ps[p], 0, 0)),
+            pl.BlockSpec((sc, 16), lambda p, pt, ps, pv, pb: (ps[p], 0)),
+            pl.BlockSpec((sc, 16), lambda p, pt, ps, pv, pb: (ps[p], 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, tile_rays), lambda p, pt, ps, pv: (pt[p], 0, 0)),
-            pl.BlockSpec((1, 1, tile_rays), lambda p, pt, ps, pv: (pt[p], 0, 0)),
+            pl.BlockSpec((1, 1, tile_rays),
+                         lambda p, pt, ps, pv, pb: (pt[p], 0, 0)),
+            pl.BlockSpec((1, 1, tile_rays),
+                         lambda p, pt, ps, pv, pb: (pt[p], 0, 0)),
         ],
     )
 
@@ -269,7 +315,7 @@ def closest_hit_stream_flat(
         ],
         interpret=interpret,
     )(
-        pair_tile, pair_sc, pair_valid,
+        pair_tile, pair_sc, pair_valid, pair_bits,
         o_t, d_t,
         tables.n, tables.nv0, tables.m, tables.c, tables.nobf,
         tables.tri_id,

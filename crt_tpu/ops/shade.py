@@ -261,7 +261,7 @@ def _hadamard(albedo, color, hadamard_y: bool):
 
 def _occlusion_masks(scene, trace_fn, point, normal, light_positions,
                      shadow_bias, no_shadows, shadow_active,
-                     max_ray_depth=3, refraction_bias=1e-2):
+                     max_ray_depth=3, refraction_bias=1e-2, rows_fn=None):
     """is_illuminated per (light, ray) — all lights in ONE batched trace.
 
     Mirrors crt_renderer.cpp:81-96 semantics: closest hit along the shadow
@@ -284,17 +284,33 @@ def _occlusion_masks(scene, trace_fn, point, normal, light_positions,
     if no_shadows:
         return jnp.ones(r2.shape, bool), light_dir, r2
 
-    shadow_o = jnp.broadcast_to(
-        point + normal * shadow_bias, light_vec.shape
-    ).reshape(-1, 3)
+    shadow_o_px = point + normal * shadow_bias  # [R, 3], light-invariant
+    shadow_o = jnp.broadcast_to(shadow_o_px, light_vec.shape).reshape(-1, 3)
     # Lanes facing away from the light contribute zero regardless of
     # occlusion (cos_law clamps to 0) — drop them from the binning mask.
     facing = vecmath.dot(light_dir, jnp.broadcast_to(normal[None], light_vec.shape)) > 0.0
-    act = (shadow_active[None] & jax.lax.stop_gradient(facing)).reshape(-1)
+    act_lr = shadow_active[None] & jax.lax.stop_gradient(facing)  # [Ll, R]
+    act = act_lr.reshape(-1)
     d = light_dir.reshape(-1, 3)
     r2_flat = jax.lax.stop_gradient(r2).reshape(-1)
 
     if not (scene.has_refractive and scene.refractions_on):
+        shadow_fn = getattr(trace_fn, "shadow_occluded", None)
+        if shadow_fn is not None and point.ndim == 2:
+            # Shadow-structured binning: per-light direction intervals by
+            # interval arithmetic + beyond-the-light cluster culling (see
+            # pallas_trace.bin_shadow_rays).  |shadow_o - point| <= ~bias
+            # (the shading normal is a convex combination of unit normals),
+            # so 2*bias slack keeps the direction enclosure conservative.
+            occluded = shadow_fn(
+                jax.lax.stop_gradient(shadow_o_px),
+                jax.lax.stop_gradient(light_dir),
+                jax.lax.stop_gradient(r2),
+                light_positions,
+                act_lr,
+                2.0 * shadow_bias,
+            )
+            return ~occluded, light_dir, r2
         occluded_fn = getattr(trace_fn, "occluded", None)
         if occluded_fn is not None:
             # Any-hit occlusion kernel: no closest-hit bookkeeping, early
@@ -335,9 +351,20 @@ def _occlusion_masks(scene, trace_fn, point, normal, light_positions,
         is_refr = hit_valid & (scene.mat_type[mat] == MATERIAL_REFRACTIVE)
 
         # Geometric normal at the hit (face normal suffices for marching).
-        idx = scene.tri_vidx[tri]
-        verts = jax.lax.stop_gradient(scene.vertices)
-        v0, v1, v2 = verts[idx[..., 0]], verts[idx[..., 1]], verts[idx[..., 2]]
+        # Partitioned scenes have no raw vertices on-device; the packed
+        # table's v0|v1|v2 rows (build_packed layout, always the first 9)
+        # come back through the rows_fn psum exchange instead.
+        if rows_fn is None:
+            idx = scene.tri_vidx[tri]
+            verts = jax.lax.stop_gradient(scene.vertices)
+            v0, v1, v2 = (
+                verts[idx[..., 0]], verts[idx[..., 1]], verts[idx[..., 2]]
+            )
+        else:
+            rows = jax.lax.stop_gradient(rows_fn(tri))  # [K, Ll*R]
+            v0 = jnp.moveaxis(rows[0:3], 0, -1)
+            v1 = jnp.moveaxis(rows[3:6], 0, -1)
+            v2 = jnp.moveaxis(rows[6:9], 0, -1)
         face_n = vecmath.safe_normalize(vecmath.cross(v1 - v0, v2 - v0))
 
         d_dot_n = vecmath.dot(d, face_n)
@@ -530,16 +557,23 @@ def _shade_level(scene, settings, trace_fn, origins, dirs, depth, rng, active,
             shadow_active=active & is_diffuse,
             max_ray_depth=settings.max_ray_depth,
             refraction_bias=settings.refraction_bias,
+            rows_fn=rows_fn,
         )  # [Ll, R](, 3)
         cos_law = jnp.maximum(0.0, vecmath.dot(light_dir, normal[None]))
         sphere_area = 4.0 * _PI * r2
-        contrib = (
-            albedo[None]
-            * (scene.light_intensity[:, None] / sphere_area * cos_law)[..., None]
-        )  # [Ll, R, 3]
-        diffuse_color = diffuse_color + jnp.sum(
-            jnp.where(illuminated[..., None], contrib, 0.0), axis=0
-        )
+        # albedo is light-invariant, so sum the scalar radiance weights over
+        # lights first ([Ll, R]) and multiply by albedo once — 3x less HBM
+        # on the widest shading tensors (fwd AND bwd) than materializing
+        # [Ll, R, 3] per-light contributions.
+        lum = jnp.sum(
+            jnp.where(
+                illuminated,
+                scene.light_intensity[:, None] / sphere_area * cos_law,
+                0.0,
+            ),
+            axis=0,
+        )  # [R]
+        diffuse_color = diffuse_color + albedo * lum[..., None]
 
     if settings.gi_divide:
         # HEAD quirk: unconditional divide (crt_renderer.cpp:98).

@@ -51,7 +51,7 @@ def test_bin_pairs_tile_major_and_padded():
         build_cluster_tables(scene)
     )
     cap = 64
-    pt, psc, valid, total = ps.bin_pairs(sc_min, sc_max, o, d, cap, TR)
+    pt, psc, valid, total, _ = ps.bin_pairs(sc_min, sc_max, o, d, cap, TR)
     pt, psc, valid = map(np.asarray, (pt, psc, valid))
     total = int(total)
     assert valid.sum() == min(total, cap)
@@ -60,6 +60,35 @@ def test_bin_pairs_tile_major_and_padded():
     if total < cap:  # padding repeats the last valid pair
         assert (pt[total:] == pt[total - 1]).all()
         assert (psc[total:] == psc[total - 1]).all()
+
+
+def test_bin_pairs_member_cluster_bits():
+    scene, o, d = _scene_rays(num_quads=24)
+    tables, sc_min, sc_max = ps.build_supercluster_boxes(
+        build_cluster_tables(scene)
+    )
+    L_real = build_cluster_tables(scene).n.shape[0]
+    cap = 1024
+    pt, psc, valid, total, bits = ps.bin_pairs(
+        sc_min, sc_max, o, d, cap, TR,
+        cl_min=tables.cl_min, cl_max=tables.cl_max,
+    )
+    bits = np.asarray(bits).astype(np.uint64)
+    psc = np.asarray(psc)
+    live = np.asarray(valid) > 0
+    # a pair only exists because its supercluster box overlapped, and that
+    # box is the union of member boxes -> at least one member must survive
+    assert (bits[live] != 0).all()
+    # padding clusters carry inverted AABBs and must never set a bit
+    pad = (-L_real) % ps.SC_CLUSTERS
+    if pad:
+        last_sc = sc_min.shape[0] - 1
+        real_mask = np.uint64((1 << (ps.SC_CLUSTERS - pad)) - 1)
+        sel = live & (psc == last_sc)
+        assert (bits[sel] & ~real_mask == 0).all()
+    # culling must be non-trivial on a scattered-quads scene
+    full = np.uint64((1 << ps.SC_CLUSTERS) - 1)
+    assert (bits[live] != full).any() or pad > 0
 
 
 def test_stream_matches_bruteforce_interpret():
@@ -91,7 +120,7 @@ def test_stream_active_mask_and_overflow_report():
         build_cluster_tables(scene)
     )
     # overflow: cap of 1 pair must report the true total
-    _, _, valid, total = ps.bin_pairs(sc_min, sc_max, o, d, 1, TR)
+    _, _, valid, total, _ = ps.bin_pairs(sc_min, sc_max, o, d, 1, TR)
     assert int(total) >= 1
     assert int(np.asarray(valid).sum()) == 1
 
