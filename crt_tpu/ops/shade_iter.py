@@ -138,18 +138,21 @@ def shade_wavefront_iter(
     raster_y: Optional[jnp.ndarray] = None,
     active: Optional[jnp.ndarray] = None,
     banks: Optional[int] = None,
+    rows_fn=None,  # partitioned-scene row gather (see shade.hit_attributes)
+    vary_axes=(),  # shard_map axes to mark the pool varying over
 ) -> jnp.ndarray:
     """Shade a camera wavefront iteratively -> [R, 3] linear colors."""
     color, _ = shade_wavefront_iter_with_stats(
         scene, settings, trace_fn, origins, dirs, raster_x, raster_y,
-        active, banks,
+        active, banks, rows_fn, vary_axes,
     )
     return color
 
 
 def shade_wavefront_iter_with_stats(
     scene, settings, trace_fn, origins, dirs,
-    raster_x=None, raster_y=None, active=None, banks=None,
+    raster_x=None, raster_y=None, active=None, banks=None, rows_fn=None,
+    vary_axes=(),
 ):
     """Like shade_wavefront_iter but also returns the dropped-child count."""
     R = origins.shape[0]
@@ -179,6 +182,18 @@ def shade_wavefront_iter_with_stats(
         rng=rng0,
         dropped=jnp.zeros((), jnp.int32),
     )
+    if vary_axes:
+        # Inside shard_map the scan's carry types carry varying-manual-axes:
+        # constant-built fields (w/act/acc/dropped) would be "unvarying"
+        # while the bounce output is varying over the caller's mesh axes —
+        # align the initial carry explicitly (fields already varying, like
+        # o/d built from the sharded rays, are left alone).
+        def _vary(x):
+            vma = getattr(getattr(x, "aval", None), "vma", frozenset())
+            missing = tuple(a for a in vary_axes if a not in vma)
+            return jax.lax.pcast(x, missing, to="varying") if missing else x
+
+        pool = jax.tree.map(_vary, pool)
 
     want_refract = scene.has_refractive and scene.refractions_on
     want_reflect = scene.has_reflective and scene.reflections_on
@@ -201,7 +216,7 @@ def shade_wavefront_iter_with_stats(
         w = flat(pool.w)
 
         hit = trace_fn(o, d, act)
-        attrs = hit_attributes(scene, o, d, hit)
+        attrs = hit_attributes(scene, o, d, hit, rows_fn=rows_fn)
         valid = attrs.valid & act
         miss = act & ~attrs.valid
 
@@ -234,19 +249,21 @@ def shade_wavefront_iter_with_stats(
                 shadow_active=is_diffuse,
                 max_ray_depth=settings.max_ray_depth,
                 refraction_bias=settings.refraction_bias,
+                rows_fn=rows_fn,
             )
             cos_law = jnp.maximum(0.0, vecmath.dot(light_dir, normal[None]))
             sphere_area = 4.0 * _PI * r2
-            direct = jnp.sum(
+            # albedo factored out of the light sum (see shade.py): the
+            # per-light accumulation runs on [Ll, R] scalars, not [Ll, R, 3].
+            lum = jnp.sum(
                 jnp.where(
-                    illuminated[..., None],
-                    albedo[None]
-                    * (scene.light_intensity[:, None] / sphere_area
-                       * cos_law)[..., None],
+                    illuminated,
+                    scene.light_intensity[:, None] / sphere_area * cos_law,
                     0.0,
                 ),
                 axis=0,
             )
+            direct = albedo * lum[..., None]
             contrib = jnp.where(
                 is_diffuse[..., None], direct * gi_scale, contrib
             )

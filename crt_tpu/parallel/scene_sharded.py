@@ -199,14 +199,6 @@ def render_image_scene_sharded(
         devs = np.array(jax.devices())
         mesh = Mesh(devs.reshape(2, -1), (rays_axis, scene_axis))
 
-    if scene.has_refractive and scene.refractions_on:
-        # transmissive shadow marching reads raw vertices (shade.
-        # _occlusion_masks) — not yet routed through the row exchange
-        raise NotImplementedError(
-            "scene-partitioned rendering does not support refractive "
-            "scenes yet (transmissive shadows need raw vertex access)"
-        )
-
     n_ray = mesh.shape[rays_axis]
     tables, packed, shard_tris = build_partitioned_tables(
         scene, mesh, scene_axis
@@ -223,7 +215,8 @@ def render_image_scene_sharded(
         out_specs=P(rays_axis, None),
     )
     def _shard(scene_rep, tables_local, packed_local, row_starts):
-        from crt_tpu.renderer import make_tiler
+        from crt_tpu.ops.shade_iter import shade_wavefront_iter
+        from crt_tpu.renderer import make_tiler, use_iterative_wavefront
 
         rx, ry, untile = make_tiler(rows_per, w, row_offset=row_starts[0])
         origins, dirs = camera_ops.generate_rays(
@@ -236,12 +229,25 @@ def render_image_scene_sharded(
         rows_fn = make_partitioned_rows_fn(
             packed_local, shard_tris, scene_axis
         )
-        color = shade_wavefront(
-            scene_rep, settings, trace_fn,
-            origins.reshape(-1, 3), dirs.reshape(-1, 3),
-            rx.astype(jnp.uint32), ry.astype(jnp.uint32),
-            rows_fn=rows_fn,
-        )
+        # Same shading-strategy policy as the single-device renderer:
+        # branching Whitted trees (refractive depth>=2, GI) go through the
+        # O(depth) bank wavefront instead of re-unrolling 2^depth traces.
+        # Refractive scenes work here too: the transmissive shadow
+        # marching's vertex reads route through the rows_fn psum exchange.
+        if use_iterative_wavefront(scene_rep, settings):
+            color = shade_wavefront_iter(
+                scene_rep, settings, trace_fn,
+                origins.reshape(-1, 3), dirs.reshape(-1, 3),
+                rx.astype(jnp.uint32), ry.astype(jnp.uint32),
+                rows_fn=rows_fn, vary_axes=(rays_axis,),
+            )
+        else:
+            color = shade_wavefront(
+                scene_rep, settings, trace_fn,
+                origins.reshape(-1, 3), dirs.reshape(-1, 3),
+                rx.astype(jnp.uint32), ry.astype(jnp.uint32),
+                rows_fn=rows_fn,
+            )
         return untile(color)
 
     # the heavy arrays were already consumed into tables/packed; ship a

@@ -76,8 +76,16 @@ def test_partitioned_tables_shrink_per_device(mesh2d):
     assert packed.shape[1] == shard_tris * n_scene
 
 
-def test_refractive_partitioned_raises(mesh2d):
-    scene = make_test_scene(width=16, height=8, num_quads=3,
+def test_refractive_partitioned_matches_single_device(mesh2d):
+    """Refractive scenes now run partitioned: the transmissive shadow
+    marching's vertex reads route through the rows_fn psum exchange, and
+    branching depth picks the iterative bank wavefront on both sides."""
+    scene = make_test_scene(width=32, height=16, num_quads=5,
                             with_refractive=True)
-    with pytest.raises(NotImplementedError):
+    assert scene.has_refractive
+    settings = RenderSettings(backend="bruteforce")
+    single = np.asarray(render_image(scene, settings))
+    sharded = np.asarray(
         render_image_scene_sharded(scene, RenderSettings(), mesh2d)
+    )
+    np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-5)
