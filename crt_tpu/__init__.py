@@ -25,6 +25,7 @@ from crt_tpu.scene.json_loader import (
     scene_from_json,
 )
 from crt_tpu.renderer import render_aov, render_image, render_image_hwc
+from crt_tpu.progressive import render_progressive
 
 __version__ = "0.1.0"
 
@@ -38,4 +39,5 @@ __all__ = [
     "render_image",
     "render_image_hwc",
     "render_aov",
+    "render_progressive",
 ]

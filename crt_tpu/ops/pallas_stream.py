@@ -52,16 +52,20 @@ from crt_tpu.ops.pallas_trace import (
     build_cluster_tables,
 )
 
-SC_CLUSTERS = 32  # clusters per supercluster (32 x 16 = 512 triangles)
+SC_CLUSTERS = 32  # default clusters per supercluster (32 x 16 = 512 tris)
 
 
-def build_supercluster_boxes(tables: ClusterTables):
-    """Pad the cluster axis to SC_CLUSTERS and build supercluster AABBs.
+def build_supercluster_boxes(tables: ClusterTables,
+                             sc_clusters: int = SC_CLUSTERS):
+    """Pad the cluster axis to ``sc_clusters`` and build supercluster AABBs.
 
-    Returns (tables_padded, sc_min [L2, 3], sc_max [L2, 3]).
+    Returns (tables_padded, sc_min [L2, 3], sc_max [L2, 3]).  ``sc_clusters``
+    trades DMA-slice size (sc x 16 triangles per grid step) against pair
+    count; must be <= 32 (member survival is a uint32 bitmask).
     """
+    assert 1 <= sc_clusters <= 32
     L = tables.n.shape[0]
-    pad = (-L) % SC_CLUSTERS
+    pad = (-L) % sc_clusters
     if pad:
         INF = jnp.float32(3.4e38)
 
@@ -79,9 +83,9 @@ def build_supercluster_boxes(tables: ClusterTables):
             cl_min=pad0(tables.cl_min, INF),
             cl_max=pad0(tables.cl_max, -INF),
         )
-    L2 = tables.n.shape[0] // SC_CLUSTERS
-    sc_min = tables.cl_min.reshape(L2, SC_CLUSTERS, 3).min(axis=1)
-    sc_max = tables.cl_max.reshape(L2, SC_CLUSTERS, 3).max(axis=1)
+    L2 = tables.n.shape[0] // sc_clusters
+    sc_min = tables.cl_min.reshape(L2, sc_clusters, 3).min(axis=1)
+    sc_max = tables.cl_max.reshape(L2, sc_clusters, 3).max(axis=1)
     return tables, sc_min, sc_max
 
 
@@ -144,7 +148,7 @@ def bin_pairs(sc_min, sc_max, origins, dirs, pairs_cap: int,
     if cl_min is None:
         pair_bits = jnp.full((pairs_cap,), 0xFFFFFFFF, jnp.uint32)
     else:
-        sc = SC_CLUSTERS
+        sc = cl_min.shape[0] // sc_min.shape[0]
         L2b = cl_min.shape[0] // sc
         mb_min = cl_min.reshape(L2b, sc, 3)[pair_sc]  # [P, SC, 3]
         mb_max = cl_max.reshape(L2b, sc, 3)[pair_sc]
@@ -250,7 +254,7 @@ def _stream_kernel(
             )
 
         init = (best_t_ref[0], best_tri_ref[0])
-        best_t, best_tri = jax.lax.fori_loop(0, SC_CLUSTERS, body, init)
+        best_t, best_tri = jax.lax.fori_loop(0, n_ref.shape[0], body, init)
         best_t_ref[0] = best_t
         best_tri_ref[0] = best_tri
 
@@ -282,7 +286,7 @@ def closest_hit_stream_flat(
     o_t = origins.reshape(tiles, tile_rays, 3).swapaxes(1, 2)
     d_t = dirs.reshape(tiles, tile_rays, 3).swapaxes(1, 2)
 
-    sc = SC_CLUSTERS
+    sc = tables.n.shape[0] // L2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,  # pair_tile, pair_sc, pair_valid, pair_bits
         grid=(pairs_cap,),
@@ -333,11 +337,12 @@ def closest_hit_stream_flat(
 
 def make_stream_trace_fn(scene, pairs_cap: int | None = None,
                          tile_rays: int | None = None,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         sc_clusters: int = SC_CLUSTERS):
     """trace_fn factory for the HBM-streaming backend ("pallas_stream")."""
     tile_rays = tile_rays or TILE_RAYS
     tables = build_cluster_tables(scene)
-    tables, sc_min, sc_max = build_supercluster_boxes(tables)
+    tables, sc_min, sc_max = build_supercluster_boxes(tables, sc_clusters)
     tables = jax.tree.map(jax.lax.stop_gradient, tables)
     if pairs_cap is None:
         # generous default: every tile of a 2 M-ray frame touching 16

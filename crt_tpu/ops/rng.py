@@ -141,10 +141,27 @@ def derive(state: PCGState, salt: int) -> PCGState:
     *siblings'* subtree sizes), so forked streams trade draw-order parity for
     a bounded iteration — equally deterministic, same distribution.
     """
-    salt = int(salt)
-    # keep inc odd: flip bits above bit 0 only
-    inc_lo = state.inc_lo ^ _u32((salt << 1) & 0xFFFFFFFF)
-    inc_hi = state.inc_hi ^ _u32((salt >> 31) & 0xFFFFFFFF)
+    # ``salt`` may be a Python int or a traced uint32 scalar/array (e.g. the
+    # progressive-pass index).  keep inc odd: flip bits above bit 0 only.
+    salt = _u32(salt)
+    inc_lo = state.inc_lo ^ (salt << 1)
+    inc_hi = state.inc_hi ^ (salt >> 31)
     st = PCGState(state.state_hi, state.state_lo, inc_hi, inc_lo)
     _, st = _next(st)
     return st
+
+
+def salt_stream(state: PCGState, salt) -> PCGState:
+    """Per-pass stream salting for progressive accumulation.
+
+    ``salt`` is a (possibly traced) uint32 scalar: pass 0 returns ``state``
+    BIT-EXACT (so the first progressive pass reproduces the single-shot
+    render), pass k>0 forks a decorrelated stream via ``derive``.  ``None``
+    is the identity.
+    """
+    if salt is None:
+        return state
+    salt = _u32(salt)
+    forked = derive(state, salt)
+    keep = salt == _u32(0)
+    return PCGState(*(jnp.where(keep, a, b) for a, b in zip(state, forked)))

@@ -42,6 +42,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from crt_tpu.ops import rng as rng_mod
 from crt_tpu.ops import vecmath
@@ -179,6 +180,12 @@ def hit_attributes(scene, origins, dirs, hit: Hit,
             rows = packed_gather(packed, tri)  # [K, R]
     else:
         rows = rows_fn(tri)
+    # Remat seam: under jax.checkpoint(..., policy=save_only_these_names
+    # ("packed_rows")) the gather output is the ONLY stored residual and the
+    # elementwise interpolation below recomputes in the backward pass —
+    # fusing its VJP chain instead of round-tripping every intermediate
+    # [R, 3] through HBM.  A no-op without an enclosing checkpoint.
+    rows = checkpoint_name(rows, "packed_rows")
 
     def col3(o):
         return jnp.moveaxis(rows[o : o + 3], 0, -1)  # [R, 3]
@@ -322,6 +329,7 @@ def _occlusion_masks(scene, trace_fn, point, normal, light_positions,
             sh = trace_fn(shadow_o, d, act)
             sh_t = jax.lax.stop_gradient(sh.t)
             occluded = sh.valid & (sh_t * sh_t <= r2_flat)
+        occluded = checkpoint_name(occluded, "trace_out")
         return ~occluded.reshape(r2.shape), light_dir, r2
 
     # Transmissive shadows: the reference *intends* shadow rays to refract
@@ -382,6 +390,7 @@ def _occlusion_masks(scene, trace_fn, point, normal, light_positions,
         alive = cont
 
     occluded = last_valid & (last_t * last_t <= r2_flat)
+    occluded = checkpoint_name(occluded, "trace_out")
     return ~occluded.reshape(r2.shape), light_dir, r2
 
 
@@ -395,6 +404,7 @@ def shade_wavefront(
     raster_y: Optional[jnp.ndarray] = None,
     active: Optional[jnp.ndarray] = None,  # [R] bool; False lanes skip work
     rows_fn=None,  # partitioned-scene row gather (see hit_attributes)
+    gi_salt: Optional[jnp.ndarray] = None,  # progressive-pass stream salt
 ) -> jnp.ndarray:
     """Shade a camera-ray wavefront -> [R, 3] linear colors.
 
@@ -402,12 +412,16 @@ def shade_wavefront(
     force, while-loop tree, or Pallas kernel).  ``active=False`` lanes
     (chunk padding) produce arbitrary colors the caller discards; masked
     lanes are dropped from the trace binning so they cost no kernel work.
+    ``gi_salt`` (traced uint32 scalar) forks the per-pixel GI streams for
+    progressive multi-pass accumulation; salt 0 is bit-exact the unsalted
+    render (crt_tpu.progressive).
     """
     if scene.gi_on:
         assert raster_x is not None and raster_y is not None, (
             "GI needs raster coords for per-pixel PCG32 seeding"
         )
         rng = rng_mod.make_pcg(raster_x, raster_y)
+        rng = rng_mod.salt_stream(rng, gi_salt)
     else:
         rng = None
 
@@ -435,6 +449,15 @@ def _shade_level(scene, settings, trace_fn, origins, dirs, depth, rng, active,
     level_trace = trace_fn
 
     hit = level_trace(origins, dirs, active)
+    # Remat seam (see hit_attributes): traces are the expensive,
+    # non-differentiable part of the forward — name their outputs so a
+    # save_only_these_names("packed_rows", "trace_out") checkpoint policy
+    # keeps them while recomputing the cheap elementwise shading in the
+    # backward pass.  No-op without an enclosing jax.checkpoint.
+    hit = Hit(
+        t=checkpoint_name(hit.t, "trace_out"),
+        tri=checkpoint_name(hit.tri, "trace_out"),
+    )
     attrs = hit_attributes(scene, origins, dirs, hit, rows_fn=rows_fn)
 
     if not scene.has_materials:

@@ -140,11 +140,12 @@ def shade_wavefront_iter(
     banks: Optional[int] = None,
     rows_fn=None,  # partitioned-scene row gather (see shade.hit_attributes)
     vary_axes=(),  # shard_map axes to mark the pool varying over
+    gi_salt: Optional[jnp.ndarray] = None,  # progressive-pass stream salt
 ) -> jnp.ndarray:
     """Shade a camera wavefront iteratively -> [R, 3] linear colors."""
     color, _ = shade_wavefront_iter_with_stats(
         scene, settings, trace_fn, origins, dirs, raster_x, raster_y,
-        active, banks, rows_fn, vary_axes,
+        active, banks, rows_fn, vary_axes, gi_salt,
     )
     return color
 
@@ -152,7 +153,7 @@ def shade_wavefront_iter(
 def shade_wavefront_iter_with_stats(
     scene, settings, trace_fn, origins, dirs,
     raster_x=None, raster_y=None, active=None, banks=None, rows_fn=None,
-    vary_axes=(),
+    vary_axes=(), gi_salt=None,
 ):
     """Like shade_wavefront_iter but also returns the dropped-child count."""
     R = origins.shape[0]
@@ -167,6 +168,7 @@ def shade_wavefront_iter_with_stats(
             "GI needs raster coords for per-pixel PCG32 seeding"
         )
         seed = rng_mod.make_pcg(raster_x, raster_y)
+        seed = rng_mod.salt_stream(seed, gi_salt)
         rng0 = rng_mod.PCGState(
             *(jnp.broadcast_to(p[None], (B, R)) for p in seed)
         )

@@ -145,7 +145,8 @@ def make_tiler(h: int, w: int, row_offset=0):
     return tile(raster_x), tile(raster_y), untile
 
 
-def _render_flat(scene: Scene, settings: RenderSettings) -> jnp.ndarray:
+def _render_flat(scene: Scene, settings: RenderSettings,
+                 gi_salt=None) -> jnp.ndarray:
     h, w = scene.height, scene.width
     rxf, ryf, untile = make_tiler(h, w)
 
@@ -197,7 +198,8 @@ def _render_flat(scene: Scene, settings: RenderSettings) -> jnp.ndarray:
 
         def one_chunk(args):
             o, d, x, y, a = args
-            return shade_fn(scene, settings, trace_fn, o, d, x, y, a)
+            return shade_fn(scene, settings, trace_fn, o, d, x, y, a,
+                            gi_salt=gi_salt)
 
         color = jax.lax.map(
             one_chunk,
@@ -211,30 +213,39 @@ def _render_flat(scene: Scene, settings: RenderSettings) -> jnp.ndarray:
         ).reshape(-1, 3)[:R]
     else:
         color = shade_fn(
-            scene, settings, trace_fn, origins, dirs, rx, ry
+            scene, settings, trace_fn, origins, dirs, rx, ry,
+            gi_salt=gi_salt,
         )
     return untile(color)  # make_tiler's untile already crops to [h, w]
 
 
 @jax.jit
-def _render_jit(scene: Scene, settings: RenderSettings) -> jnp.ndarray:
-    return _render_flat(scene, settings)
+def _render_jit(scene: Scene, settings: RenderSettings,
+                gi_salt=None) -> jnp.ndarray:
+    return _render_flat(scene, settings, gi_salt)
 
 
 def render_image_hwc(
-    scene: Scene, settings: RenderSettings | None = None, jit: bool = True
+    scene: Scene, settings: RenderSettings | None = None, jit: bool = True,
+    gi_salt=None,
 ) -> jnp.ndarray:
-    """Render to a [height, width, 3] float32 linear-color image."""
+    """Render to a [height, width, 3] float32 linear-color image.
+
+    ``gi_salt`` (uint32 scalar, traced) forks the per-pixel GI sample
+    streams — pass k of a progressive accumulation renders with salt k;
+    salt 0 is bit-exact the plain render (see crt_tpu.progressive).
+    """
     settings = settings or RenderSettings()
     fn = _render_jit if jit else _render_flat
-    return fn(scene, settings)
+    return fn(scene, settings, gi_salt)
 
 
 def render_image(
-    scene: Scene, settings: RenderSettings | None = None, jit: bool = True
+    scene: Scene, settings: RenderSettings | None = None, jit: bool = True,
+    gi_salt=None,
 ) -> jnp.ndarray:
     """Alias of render_image_hwc — the ``crt::render_image`` equivalent."""
-    return render_image_hwc(scene, settings, jit=jit)
+    return render_image_hwc(scene, settings, jit=jit, gi_salt=gi_salt)
 
 
 def _render_aov_flat(scene: Scene, settings: RenderSettings, aov: str):
