@@ -197,7 +197,10 @@ def packed_gather_ranked_fused(packed_aug, tri, rank):
     Returns the data rows only ([K, R]); the rank row is consumed by the
     VJP (banded segment-matmul in rank space, unpermuted via ``rank``).
     """
-    return packed_aug[:-1, jnp.maximum(tri, 0)]
+    # Gather all K+1 rows, then drop the rank row from the RESULT: slicing
+    # the operand first (packed_aug[:-1, idx]) lowers to a gather XLA:TPU
+    # executes ~150x slower (measured 5 s vs 30 ms full-frame fwd).
+    return packed_aug[:, jnp.maximum(tri, 0)][:-1]
 
 
 def _pgf_fwd(packed_aug, tri, rank):
