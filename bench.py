@@ -90,13 +90,20 @@ def main():
         )
         return jnp.sum(_render_flat(s, settings))
 
-    grad_fn = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2)))
+    vg = jax.value_and_grad(loss, argnums=(0, 1, 2))
+
+    @jax.jit
+    def grad_fn(vertices, lights, cam, eps):
+        v, grads = vg(vertices, lights, cam, eps)
+        # ONE scalar depending on the value and every gradient leaf: a
+        # single readback forces the full pipeline (two float() readbacks
+        # cost two relay round trips ~ +20 ms of pure dispatch).
+        return v + sum(jnp.sum(g) for g in grads)
 
     def run_grad(eps):
-        v, grads = grad_fn(
+        return float(grad_fn(
             scene.vertices, scene.light_intensity, scene.cam_position, eps
-        )
-        return float(v) + float(grads[2][0])  # readback forces full pipeline
+        ))
 
     run_grad(jnp.zeros(3))  # compile + warm up
     best_grad = float("inf")
