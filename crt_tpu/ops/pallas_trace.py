@@ -44,6 +44,7 @@ stop-gradiented by the caller; shading recomputes attributes differentiably
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -58,6 +59,9 @@ from crt_tpu.ops.intersect import PARALLEL_EPS, Hit
 # amortize per-program overhead best; clusters of 16 triangles tie with 32.
 TILE_RAYS = 1024
 CLUSTER_SIZE = 16
+# Clusters tested per trace-kernel loop iteration (see _trace_kernel):
+# amortizes per-iteration loop bookkeeping over several 16 x TR bursts.
+CLUSTER_UNROLL = int(os.environ.get("CRT_CLUSTER_UNROLL", "4"))
 
 
 class ClusterTables(NamedTuple):
@@ -331,9 +335,8 @@ def _trace_kernel(
     INF = jnp.float32(jnp.inf)
     BIGID = jnp.int32(2**30)
 
-    def body(i, carry):
+    def one_cluster(cl, carry):
         best_t, best_tri = carry
-        cl = cluster_list_ref[0, 0, i]
 
         n = n_ref[cl]  # [16, 3]
         nd = n[:, 0:1] * dx + n[:, 1:2] * dy + n[:, 2:3] * dz  # [16, TR]
@@ -377,11 +380,26 @@ def _trace_kernel(
             jnp.where(better, cl_tri, best_tri),
         )
 
+    # Unrolled cluster walk: each fori_loop iteration tests CLUSTER_UNROLL
+    # clusters — per-iteration loop bookkeeping (~1 us: dynamic slicing,
+    # carry plumbing) otherwise dominates the ~0.1 us of VPU work a single
+    # 16 x TR cluster burst costs.  Indices past ``count`` clamp to the
+    # last live cluster; re-testing an already-tested cluster is exactly
+    # idempotent under the (min-t, min-id tie-break) reduction, so no
+    # sentinel cluster is needed.
+    def body(i, carry):
+        base = i * CLUSTER_UNROLL
+        for k in range(CLUSTER_UNROLL):
+            idx = jnp.minimum(base + k, count - 1)
+            carry = one_cluster(cluster_list_ref[0, 0, idx], carry)
+        return carry
+
     init = (
         jnp.full((1, o_ref.shape[2]), INF, jnp.float32),
         jnp.full((1, o_ref.shape[2]), -1, jnp.int32),
     )
-    best_t, best_tri = jax.lax.fori_loop(0, count, body, init)
+    steps = (count + CLUSTER_UNROLL - 1) // CLUSTER_UNROLL
+    best_t, best_tri = jax.lax.fori_loop(0, steps, body, init)
     best_t_ref[0, 0, :] = best_t[0]
     best_tri_ref[0, 0, :] = best_tri[0]
 
