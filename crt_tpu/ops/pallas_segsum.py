@@ -232,6 +232,42 @@ packed_gather_ranked_fused.defvjp(_pgf_fwd, _pgf_bwd)
 
 
 @jax.custom_vjp
+def packed_rows_from_kernel(packed, data, ranked, rank):
+    """AD adapter for trace-kernel-emitted packed rows.
+
+    ``data`` [K, R] are the rows the Pallas trace kernel emitted
+    (bit-identical to ``packed[:, tri]`` — no XLA gather runs); ``ranked``
+    [R] are the kernel's slot indices (== Morton rank, -1 on miss).  The
+    primal returns ``data`` untouched; the VJP routes the cotangents into
+    ``packed``'s [K, T] layout through the banded segment-matmul, exactly
+    like packed_gather_ranked_fused, keeping the gradient path identical
+    while the forward skips the ~6 ms 2 M-index gather.
+    """
+    del packed, ranked, rank
+    return data
+
+
+def _prk_fwd(packed, data, ranked, rank):
+    return data, (ranked, rank, packed.shape[1])
+
+
+def _prk_bwd(res, g):
+    ranked, rank, T = res
+    if use_matmul_segsum(T) and g.ndim == 2 and ranked.ndim == 1:
+        out_ranked = segment_accumulate_matmul(ranked, g, T)
+    else:
+        out_ranked = (
+            jnp.zeros((g.shape[0], T + 1), g.dtype)
+            .at[:, jnp.where(ranked >= 0, ranked, T)]
+            .add(g)[:, :T]
+        )
+    return out_ranked[:, rank], None, None, None
+
+
+packed_rows_from_kernel.defvjp(_prk_fwd, _prk_bwd)
+
+
+@jax.custom_vjp
 def packed_gather_ranked(packed, tri, rank):
     """``packed[:, max(tri, 0)]`` whose VJP uses the banded segment-matmul.
 

@@ -163,6 +163,29 @@ def build_cluster_tables(scene, cluster_size: int | None = None) -> ClusterTable
     )
 
 
+def emit_rows_table(scene, tables: ClusterTables) -> jnp.ndarray:
+    """Per-slot packed attribute rows for the row-emitting trace kernel.
+
+    Returns [L, S, K+1] f32: the shader's packed rows (build_packed order:
+    v0|v1|v2 [+normals] [+uvs]) for each cluster member, plus a final
+    SLOT-INDEX row.  Slot index == Morton rank of the triangle (clusters
+    are built from the Morton order, pads sit at the tail), so the emitted
+    last row directly provides the banded-segsum ranked ids.
+
+    VMEM note: the minor K+1 dim pads to 128 lanes, so this table costs
+    L * S * 128 * 4 bytes (~8 KB per cluster) — the auto backend only
+    enables emit when it fits the budget (renderer._emit_rows_ok).
+    """
+    from crt_tpu.ops.shade import build_packed
+
+    packed = jax.lax.stop_gradient(build_packed(scene))  # [K, T]
+    L, S = tables.tri_id.shape
+    ids = jnp.maximum(tables.tri_id, 0)
+    rows = packed.T[ids]  # [L, S, K]
+    slot = jnp.arange(L * S, dtype=jnp.float32).reshape(L, S)[..., None]
+    return jnp.concatenate([rows, slot], axis=-1)
+
+
 # ---------------------------------------------------------------------------
 # Phase A: tile frustums + cluster binning (plain XLA)
 # ---------------------------------------------------------------------------
@@ -323,9 +346,18 @@ def _trace_kernel(
     c_ref,  # [L, 16, 3] VMEM
     nobf_ref,  # [L, 16] VMEM
     tid_ref,  # [L, 16] VMEM (i32)
-    best_t_ref,  # [1, 1, TR] out
-    best_tri_ref,  # [1, 1, TR] out
+    *rest,  # [rows_ref [L, 16, Kp]] + best_t_ref, best_tri_ref [, best_rows_ref]
+    emit_k: int = 0,
 ):
+    """Closest-hit cluster walk; with ``emit_k`` > 0 also emits the winning
+    triangle's [Kp] attribute row per lane (see emit_rows_table) — the
+    packed-row data the shader would otherwise re-fetch with a ~6 ms
+    2 M-index XLA gather.  Selection is an exact 0/1 masked sum, so emitted
+    values are bit-identical to ``packed[:, tri]``."""
+    if emit_k:
+        rows_ref, best_t_ref, best_tri_ref, best_rows_ref = rest
+    else:
+        best_t_ref, best_tri_ref = rest
     tile = pl.program_id(0)
     count = counts_ref[tile]
 
@@ -336,7 +368,10 @@ def _trace_kernel(
     BIGID = jnp.int32(2**30)
 
     def one_cluster(cl, carry):
-        best_t, best_tri = carry
+        if emit_k:
+            best_t, best_tri, best_rows = carry
+        else:
+            best_t, best_tri = carry
 
         n = n_ref[cl]  # [16, 3]
         nd = n[:, 0:1] * dx + n[:, 1:2] * dy + n[:, 2:3] * dz  # [16, TR]
@@ -375,10 +410,23 @@ def _trace_kernel(
         cl_tri = jnp.min(cand, axis=0, keepdims=True)  # [1, TR]
 
         better = cl_best < best_t
-        return (
-            jnp.where(better, cl_best, best_t),
-            jnp.where(better, cl_tri, best_tri),
-        )
+        new_t = jnp.where(better, cl_best, best_t)
+        new_tri = jnp.where(better, cl_tri, best_tri)
+        if not emit_k:
+            return (new_t, new_tri)
+
+        # Winner-member mask: exactly the member whose (t, id) won the
+        # cluster reduction (ids are unique within a cluster).  Masked sums
+        # with a 0/1 f32 mask are exact — one nonzero term per lane.
+        wmask = ((t <= cl_best) & (tid == cl_tri)).astype(jnp.float32)
+        rows = rows_ref[cl]  # [16, Kp]
+        sel = [
+            jnp.sum(wmask * rows[:, k : k + 1], axis=0, keepdims=True)
+            for k in range(emit_k)
+        ]  # emit_k x [1, TR]
+        rows_sel = jnp.concatenate(sel, axis=0)  # [Kp, TR]
+        new_rows = jnp.where(better, rows_sel, best_rows)
+        return (new_t, new_tri, new_rows)
 
     # Unrolled cluster walk: each fori_loop iteration tests CLUSTER_UNROLL
     # clusters — per-iteration loop bookkeeping (~1 us: dynamic slicing,
@@ -394,14 +442,19 @@ def _trace_kernel(
             carry = one_cluster(cluster_list_ref[0, 0, idx], carry)
         return carry
 
+    TR = o_ref.shape[2]
     init = (
-        jnp.full((1, o_ref.shape[2]), INF, jnp.float32),
-        jnp.full((1, o_ref.shape[2]), -1, jnp.int32),
+        jnp.full((1, TR), INF, jnp.float32),
+        jnp.full((1, TR), -1, jnp.int32),
     )
+    if emit_k:
+        init = init + (jnp.zeros((emit_k, TR), jnp.float32),)
     steps = (count + CLUSTER_UNROLL - 1) // CLUSTER_UNROLL
-    best_t, best_tri = jax.lax.fori_loop(0, steps, body, init)
-    best_t_ref[0, 0, :] = best_t[0]
-    best_tri_ref[0, 0, :] = best_tri[0]
+    out = jax.lax.fori_loop(0, steps, body, init)
+    best_t_ref[0, 0, :] = out[0][0]
+    best_tri_ref[0, 0, :] = out[1][0]
+    if emit_k:
+        best_rows_ref[0, :, :] = out[2]
 
 
 def _occlusion_kernel(
@@ -548,46 +601,40 @@ def _closest_hit_binned(
     counts: jnp.ndarray,  # [tiles] i32
     tile_rays: int,
     interpret: bool,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+    rows_table: jnp.ndarray | None = None,  # [L, S, Kp] (emit_rows_table)
+) -> tuple[jnp.ndarray, ...]:
     """Run the trace kernel over pre-binned tiles -> (best_t, best_tri),
-    each [tiles, 1, TR]."""
+    each [tiles, 1, TR].  With ``rows_table`` ([L, S, Kp], see
+    emit_rows_table) also returns best_rows [tiles, Kp, TR]."""
     tiles = o_t.shape[0]
     L = tables.n.shape[0]
+    emit_k = 0 if rows_table is None else int(rows_table.shape[2])
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(tiles,),
-        in_specs=[
-            pl.BlockSpec((1, 1, L), lambda i, c: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 3, tile_rays), lambda i, c: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, tile_rays), lambda i, c: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # n
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # nv0
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # m
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # c
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # nobf
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # tid
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, tile_rays), lambda i, c: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tile_rays), lambda i, c: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-    )
-
-    best_t, best_tri = pl.pallas_call(
-        _trace_kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((tiles, 1, tile_rays), jnp.float32),
-            jax.ShapeDtypeStruct((tiles, 1, tile_rays), jnp.int32),
-        ],
-        interpret=interpret,
-    )(
+    in_specs = [
+        pl.BlockSpec((1, 1, L), lambda i, c: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 3, tile_rays), lambda i, c: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3, tile_rays), lambda i, c: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # n
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # nv0
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # m
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # c
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # nobf
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # tid
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 1, tile_rays), lambda i, c: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, tile_rays), lambda i, c: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((tiles, 1, tile_rays), jnp.float32),
+        jax.ShapeDtypeStruct((tiles, 1, tile_rays), jnp.int32),
+    ]
+    operands = [
         counts,
         cluster_list,
         o_t,
@@ -598,8 +645,34 @@ def _closest_hit_binned(
         tables.c,
         tables.nobf,
         tables.tri_id,
+    ]
+    if emit_k:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # rows
+        operands.append(rows_table)
+        out_specs.append(
+            pl.BlockSpec((1, emit_k, tile_rays), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((tiles, emit_k, tile_rays), jnp.float32)
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(tiles,),
+        in_specs=in_specs,
+        out_specs=out_specs,
     )
-    return best_t, best_tri
+
+    out = pl.pallas_call(
+        functools.partial(_trace_kernel, emit_k=emit_k),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*operands)
+    if emit_k:
+        return out[0], out[1], out[2]
+    return out[0], out[1]
 
 
 @functools.partial(jax.jit, static_argnames=("tile_rays", "interpret"))
@@ -610,7 +683,8 @@ def closest_hit_pallas_flat(
     active=None,  # [R] bool or None
     tile_rays: int = TILE_RAYS,
     interpret: bool = False,
-) -> Hit:
+    rows_table=None,  # [L, S, Kp] -> also return emitted rows [Kp, R]
+):
     R = origins.shape[0]
     tiles = R // tile_rays
 
@@ -618,10 +692,16 @@ def closest_hit_pallas_flat(
 
     o_t = origins.reshape(tiles, tile_rays, 3).swapaxes(1, 2)  # [tiles,3,TR]
     d_t = dirs.reshape(tiles, tile_rays, 3).swapaxes(1, 2)
-    best_t, best_tri = _closest_hit_binned(
-        tables, o_t, d_t, cluster_list, counts, tile_rays, interpret
+    out = _closest_hit_binned(
+        tables, o_t, d_t, cluster_list, counts, tile_rays, interpret,
+        rows_table=rows_table,
     )
-    return Hit(t=best_t.reshape(-1), tri=best_tri.reshape(-1))
+    hit = Hit(t=out[0].reshape(-1), tri=out[1].reshape(-1))
+    if rows_table is not None:
+        kp = rows_table.shape[2]
+        rows = jnp.moveaxis(out[2], 1, 0).reshape(kp, -1)  # [Kp, R]
+        return hit, rows
+    return hit
 
 
 def make_pallas_trace_fn(scene, tile_rays: int | None = None,
@@ -648,8 +728,9 @@ def make_pallas_trace_fn(scene, tile_rays: int | None = None,
     tile_rays = tile_rays or TILE_RAYS
     tables = build_cluster_tables(scene, cluster_size)
     tables = jax.tree.map(jax.lax.stop_gradient, tables)
+    rows_table_cache = []
 
-    def trace(origins, dirs, active=None):
+    def _trace_impl(origins, dirs, active, want_rows):
         batch_shape = origins.shape[:-1]
         o = origins.reshape(-1, 3)
         d = dirs.reshape(-1, 3)
@@ -666,18 +747,46 @@ def make_pallas_trace_fn(scene, tile_rays: int | None = None,
             a = jax.lax.stop_gradient(a)
         else:
             a = None
-        hit = closest_hit_pallas_flat(
+        rows_table = None
+        if want_rows:
+            if not rows_table_cache:
+                rows_table_cache.append(
+                    jax.lax.stop_gradient(emit_rows_table(scene, tables))
+                )
+            rows_table = rows_table_cache[0]
+        out = closest_hit_pallas_flat(
             tables,
             jax.lax.stop_gradient(o),
             jax.lax.stop_gradient(d),
             a,
             tile_rays=tile_rays,
             interpret=interpret,
+            rows_table=rows_table,
         )
-        return Hit(
+        hit, rows = out if want_rows else (out, None)
+        hit = Hit(
             t=hit.t[:R].reshape(batch_shape),
             tri=hit.tri[:R].reshape(batch_shape),
         )
+        if want_rows:
+            return hit, rows[:, :R]
+        return hit
+
+    def trace(origins, dirs, active=None):
+        return _trace_impl(origins, dirs, active, False)
+
+    def trace_with_rows(origins, dirs, active=None):
+        """(Hit, rows [K+1, R]) — kernel-emitted packed rows + slot-rank
+        row (bit-identical to the packed gather; see emit_rows_table)."""
+        return _trace_impl(origins, dirs, active, True)
+
+    # The rows table's minor dim pads to 128 lanes (~8 KB/cluster of VMEM);
+    # only offer the emitting path while that stays small next to the ~16 MB
+    # core budget — callers fall back to the packed gather otherwise.
+    L = tables.tri_id.shape[0]
+    S = tables.tri_id.shape[1]
+    if L * S * 128 * 4 <= (4 << 20):
+        trace.with_rows = trace_with_rows
 
     def occluded(origins, dirs, r2, active=None):
         """Any-hit occlusion fast path (see shade._occlusion_masks)."""

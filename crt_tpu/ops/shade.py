@@ -130,8 +130,22 @@ def build_packed(scene, force_all: bool = False) -> jnp.ndarray:
     return jnp.concatenate(cols, axis=-1).T  # [K, T]
 
 
+def _morton_rank(scene, T: int) -> jnp.ndarray:
+    """[T] triangle-id -> Morton cluster rank (the banded-segsum id space;
+    == the trace kernel's slot index, see pallas_trace.emit_rows_table)."""
+    from crt_tpu.ops.pallas_trace import morton_order
+
+    verts = jax.lax.stop_gradient(scene.vertices)
+    centroids = verts[scene.tri_vidx].mean(axis=1)
+    order = morton_order(centroids)  # [T] rank -> id
+    return jnp.zeros((T,), jnp.int32).at[order].set(
+        jnp.arange(T, dtype=jnp.int32)
+    )
+
+
 def hit_attributes(scene, origins, dirs, hit: Hit,
-                   force_all: bool = False, rows_fn=None) -> HitAttributes:
+                   force_all: bool = False, rows_fn=None,
+                   kernel_rows=None) -> HitAttributes:
     """Recompute intersection attributes exactly as crt_intersection.cpp:60-88.
 
     ``hit.tri`` is treated as a constant (discrete choice); everything else
@@ -143,6 +157,11 @@ def hit_attributes(scene, origins, dirs, hit: Hit,
     FLOPs.  ``rows_fn(tri) -> [K, R]`` overrides the gather for partitioned
     scenes (each device holds a T/N table shard; the rows come back via a
     psum exchange — crt_tpu.parallel.scene_sharded).
+
+    ``kernel_rows`` ([K+1, R], from ``trace.with_rows``) supplies the rows
+    the Pallas trace kernel emitted (bit-identical to the gather, last row
+    = slot/Morton rank), skipping the gather entirely; AD still routes
+    cotangents into the scene arrays via packed_rows_from_kernel.
     """
     tri = jnp.maximum(jax.lax.stop_gradient(hit.tri), 0)
     valid = jax.lax.stop_gradient(hit.tri) >= 0
@@ -151,7 +170,27 @@ def hit_attributes(scene, origins, dirs, hit: Hit,
     need_bary = _needs_bary(scene) or force_all
     any_smooth = scene.any_smooth or force_all
 
-    if rows_fn is None:
+    if kernel_rows is not None and rows_fn is None and not force_all \
+            and tri.ndim == 1:
+        from crt_tpu.ops.pallas_segsum import packed_rows_from_kernel
+
+        packed = build_packed(scene, force_all)
+        T = packed.shape[1]
+        rank = _morton_rank(scene, T)
+        data = jax.lax.stop_gradient(kernel_rows[:-1])
+        ranked = jnp.where(
+            valid,
+            jax.lax.stop_gradient(kernel_rows[-1]).astype(jnp.int32),
+            -1,
+        )
+        rows = packed_rows_from_kernel(packed, data, ranked, rank)
+        # Miss lanes: the gather path yields triangle 0's row (clamped
+        # index); the kernel leaves them zero — patch for bit-parity.
+        # Their cotangents are provably zero (band-dropped either way).
+        rows = jnp.where(
+            valid[None], rows, jax.lax.stop_gradient(packed[:, 0:1])
+        )
+    elif rows_fn is None:
         from crt_tpu.ops.pallas_segsum import (
             packed_gather,
             packed_gather_ranked_fused,
@@ -167,14 +206,7 @@ def hit_attributes(scene, origins, dirs, hit: Hit,
         T = packed.shape[1]
         if tri.ndim == 1 and use_matmul_segsum(T) and T > 0:
             tri_raw = jax.lax.stop_gradient(hit.tri)
-            from crt_tpu.ops.pallas_trace import morton_order
-
-            verts = jax.lax.stop_gradient(scene.vertices)
-            centroids = verts[scene.tri_vidx].mean(axis=1)
-            order = morton_order(centroids)  # [T] rank -> id
-            rank = jnp.zeros((T,), jnp.int32).at[order].set(
-                jnp.arange(T, dtype=jnp.int32)
-            )
+            rank = _morton_rank(scene, T)
             # rank rides the gather as an extra f32 row: a standalone
             # rank[tri] int gather measured ~15 ms on a 2 M-ray frame.
             packed_aug = jnp.concatenate(
@@ -454,7 +486,14 @@ def _shade_level(scene, settings, trace_fn, origins, dirs, depth, rng, active,
     # Bounce wavefronts keep pixel order.
     level_trace = trace_fn
 
-    hit = level_trace(origins, dirs, active)
+    # Row-emitting trace (Pallas backend): the kernel hands back the
+    # winning triangle's packed rows, skipping hit_attributes' 2 M-index
+    # gather (~6 ms/frame).  Other backends take the gather path.
+    kernel_rows = None
+    if rows_fn is None and hasattr(trace_fn, "with_rows"):
+        hit, kernel_rows = trace_fn.with_rows(origins, dirs, active)
+    else:
+        hit = level_trace(origins, dirs, active)
     # Remat seam (see hit_attributes): traces are the expensive,
     # non-differentiable part of the forward — name their outputs so a
     # save_only_these_names("packed_rows", "trace_out") checkpoint policy
@@ -464,7 +503,8 @@ def _shade_level(scene, settings, trace_fn, origins, dirs, depth, rng, active,
         t=checkpoint_name(hit.t, "trace_out"),
         tri=checkpoint_name(hit.tri, "trace_out"),
     )
-    attrs = hit_attributes(scene, origins, dirs, hit, rows_fn=rows_fn)
+    attrs = hit_attributes(scene, origins, dirs, hit, rows_fn=rows_fn,
+                           kernel_rows=kernel_rows)
 
     if not scene.has_materials:
         # Legacy material-less scenes (07-*): the era's golden renders show a

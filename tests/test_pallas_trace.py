@@ -114,3 +114,41 @@ def test_full_render_pallas_interpret(scene):
         renderer.make_trace_fn = orig
 
     np.testing.assert_allclose(pal, brute, rtol=1e-5, atol=1e-6)
+
+
+def test_kernel_emitted_rows_match_gather(scene):
+    """trace.with_rows emits bit-identical packed rows + slot-rank row."""
+    from crt_tpu.ops import camera as camera_ops
+    from crt_tpu.ops.pallas_trace import TILE_RAYS
+    from crt_tpu.ops.shade import _morton_rank, build_packed
+
+    trace = make_pallas_trace_fn(scene, interpret=True)
+    assert hasattr(trace, "with_rows")
+
+    o, d = camera_ops.generate_rays(
+        scene.cam_position, scene.cam_rotation, scene.cam_tan_half_fov,
+        scene.width, scene.height,
+    )
+    o = o.reshape(-1, 3)
+    d = d.reshape(-1, 3)
+    R = (o.shape[0] // TILE_RAYS) * TILE_RAYS
+    o, d = o[:R], d[:R]
+
+    hit, rows = jax.jit(trace.with_rows)(o, d)
+    hit2 = jax.jit(trace)(o, d)
+    np.testing.assert_array_equal(np.asarray(hit.tri), np.asarray(hit2.tri))
+
+    packed = np.asarray(build_packed(scene))
+    tri = np.asarray(hit.tri)
+    valid = tri >= 0
+    expect = packed[:, np.maximum(tri, 0)]
+    got = np.asarray(rows[:-1])
+    # hit lanes: bit-identical to the gather; miss lanes are zero (patched
+    # downstream in hit_attributes)
+    np.testing.assert_array_equal(got[:, valid], expect[:, valid])
+    assert np.all(got[:, ~valid] == 0.0)
+
+    # last row == Morton rank of the hit triangle
+    rank = np.asarray(_morton_rank(scene, scene.num_triangles))
+    got_rank = np.asarray(rows[-1]).astype(np.int64)
+    np.testing.assert_array_equal(got_rank[valid], rank[tri[valid]])
