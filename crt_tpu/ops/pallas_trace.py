@@ -234,7 +234,7 @@ def _frustum_box_mask(o_lo, o_hi, d_lo, d_hi, bmin, bmax, t_cap=None):
 
 
 def bin_rays(tables: ClusterTables, origins, dirs, tile_rays: int | None = None,
-             active=None):
+             active=None, apex=None, apex_slack: float = 0.0):
     """Phase A.  origins/dirs: [R, 3] with R % tile_rays == 0.
 
     ``active`` ([R] bool or None) restricts the frustum to lanes whose hit
@@ -244,29 +244,56 @@ def bin_rays(tables: ClusterTables, origins, dirs, tile_rays: int | None = None,
     (garbage) results from whatever clusters the active lanes pull in; the
     shading masks discard them.
 
+    ``apex`` ([tiles, 3] or None): point-light shadow-wavefront mode.  Every
+    shadow ray of a tile passes (within the bias) through its light point P,
+    so the tile's reachable set is the shaft hull(origin box, P).  Tested
+    from the LIGHT side — origin = P exactly, direction interval = (origin
+    box ± apex_slack) − P, t ∈ [0, 1] — the interval slice at t is t·W, an
+    exact scaling of the origin box, so unlike the origin-side o-box × d-box
+    product this IS the shaft (up to per-axis slab conservatism).  Cluster
+    boxes are inflated by 2·apex_slack to keep bias-offset hits conservative.
+    Direction intervals are never reduced in this mode (they are unused).
+    Occlusion-exact: any hit with t² ≤ light_dist² lies within the bias of
+    the ideal segment [hit point, P] ⊂ the shaft.  Measured on 14-01: −35 %
+    (tile × cluster) kernel pairs vs the generic frustum, whose independent
+    o/d intervals overshoot the shaft badly.
+
     Returns (cluster_list [tiles, 1, L] i32, counts [tiles] i32).
     """
     tile_rays = tile_rays or TILE_RAYS
     tiles = origins.shape[0] // tile_rays
     o = origins.reshape(tiles, tile_rays, 3)
     d = dirs.reshape(tiles, tile_rays, 3)
+    need_d = apex is None
 
     if active is None:
         o_lo, o_hi = o.min(axis=1), o.max(axis=1)
-        d_lo, d_hi = d.min(axis=1), d.max(axis=1)
+        if need_d:
+            d_lo, d_hi = d.min(axis=1), d.max(axis=1)
         tile_any = None
     else:
         INF = jnp.float32(3.4e38)
         a = active.reshape(tiles, tile_rays, 1)
         o_lo = jnp.where(a, o, INF).min(axis=1)
         o_hi = jnp.where(a, o, -INF).max(axis=1)
-        d_lo = jnp.where(a, d, INF).min(axis=1)
-        d_hi = jnp.where(a, d, -INF).max(axis=1)
+        if need_d:
+            d_lo = jnp.where(a, d, INF).min(axis=1)
+            d_hi = jnp.where(a, d, -INF).max(axis=1)
         tile_any = jnp.any(a[..., 0], axis=1)
 
-    mask = _frustum_box_mask(
-        o_lo, o_hi, d_lo, d_hi, tables.cl_min, tables.cl_max
-    )  # [tiles, L]
+    if apex is not None:
+        s = jnp.float32(apex_slack)
+        w_lo = (o_lo - s) - apex
+        w_hi = (o_hi + s) - apex
+        mask = _frustum_box_mask(
+            apex, apex, w_lo, w_hi,
+            tables.cl_min - 2.0 * s, tables.cl_max + 2.0 * s,
+            t_cap=jnp.float32(1.0 + 1e-4),
+        )  # [tiles, L]
+    else:
+        mask = _frustum_box_mask(
+            o_lo, o_hi, d_lo, d_hi, tables.cl_min, tables.cl_max
+        )  # [tiles, L]
     if tile_any is not None:
         mask = mask & tile_any[:, None]
 
@@ -867,6 +894,51 @@ def make_pallas_trace_fn(scene, tile_rays: int | None = None,
             sh_t * sh_t <= jax.lax.stop_gradient(r2).reshape(-1)
         )
         return occ.reshape(Ll, R)
+
+    def shadow_apex(shadow_o, light_dirs, r2, light_positions, active,
+                    origin_slack):
+        """Occlusion masks for a point-light shadow wavefront -> [Ll, R]
+        bool, binned with the light-side shaft frustum (see bin_rays apex
+        mode).  Same kernel, same lanes, occlusion-exact — only the per-tile
+        cluster lists shrink (−35 % pairs measured on 14-01)."""
+        Ll, R = r2.shape
+        o_flat = jnp.broadcast_to(shadow_o[None], (Ll, R, 3)).reshape(-1, 3)
+        d_flat = light_dirs.reshape(-1, 3)
+        a_flat = jax.lax.stop_gradient(active).reshape(-1)
+        r2_flat = jax.lax.stop_gradient(r2).reshape(-1)
+        if R % tile_rays:
+            sh = trace(o_flat, d_flat, a_flat)
+            sh_t = jax.lax.stop_gradient(sh.t)
+            occ = (sh.tri >= 0) & (sh_t * sh_t <= r2_flat)
+            return occ.reshape(Ll, R)
+
+        tiles = (Ll * R) // tile_rays
+        apex = jnp.repeat(
+            jax.lax.stop_gradient(light_positions), R // tile_rays, axis=0
+        )  # [Ll * tiles_per_light, 3]
+        cluster_list, counts = bin_rays(
+            tables,
+            jax.lax.stop_gradient(o_flat),
+            jax.lax.stop_gradient(d_flat),
+            tile_rays,
+            a_flat,
+            apex=apex,
+            apex_slack=origin_slack,
+        )
+        o_t = jax.lax.stop_gradient(o_flat).reshape(
+            tiles, tile_rays, 3
+        ).swapaxes(1, 2)
+        d_t = jax.lax.stop_gradient(d_flat).reshape(
+            tiles, tile_rays, 3
+        ).swapaxes(1, 2)
+        best_t, best_tri = _closest_hit_binned(
+            tables, o_t, d_t, cluster_list, counts, tile_rays, interpret
+        )
+        sh_t = best_t.reshape(-1)
+        occ = (best_tri.reshape(-1) >= 0) & (sh_t * sh_t <= r2_flat)
+        return occ.reshape(Ll, R)
+
+    trace.shadow_apex = shadow_apex
 
     def trace_reordered(origins, dirs, active=None):
         """Trace with wavefront compaction: rays sorted by (Morton cell of

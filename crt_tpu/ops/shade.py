@@ -37,6 +37,7 @@ lights and camera.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import NamedTuple, Optional
 
@@ -357,12 +358,25 @@ def _occlusion_masks(scene, trace_fn, point, normal, light_positions,
             )
             return ~occluded, light_dir, r2
         occluded_fn = getattr(trace_fn, "occluded", None)
+        apex_fn = getattr(trace_fn, "shadow_apex", None)
         if occluded_fn is not None:
             # Any-hit occlusion kernel: no closest-hit bookkeeping, early
             # exit per tile once every lane is resolved.  Semantically
             # identical to the closest-hit comparison below: a closest hit
             # with t^2 <= r2 exists iff ANY hit with t^2 <= r2 exists.
             occluded = occluded_fn(shadow_o, d, r2_flat, act)
+        elif apex_fn is not None and point.ndim == 2:
+            # Light-side shaft binning (pallas_trace.bin_rays apex mode):
+            # same kernel and lanes, occlusion-exact, ~35 % fewer
+            # (tile x cluster) pairs than the generic frustum.
+            occluded = apex_fn(
+                jax.lax.stop_gradient(shadow_o_px),
+                jax.lax.stop_gradient(light_dir),
+                jax.lax.stop_gradient(r2),
+                light_positions,
+                act_lr,
+                2.0 * shadow_bias,
+            ).reshape(-1)
         else:
             sh = trace_fn(shadow_o, d, act)
             sh_t = jax.lax.stop_gradient(sh.t)
@@ -465,6 +479,27 @@ def shade_wavefront(
 
     if active is None:
         active = jnp.ones(origins.shape[:-1], bool)
+
+    if settings.remat_shading:
+        # Policy remat: keep ONLY the trace outputs and packed hit rows as
+        # backward residuals (they are the expensive, non-differentiable
+        # part of the forward); recompute the cheap elementwise shading
+        # chain in the backward instead of round-tripping every [R, 3]
+        # intermediate through HBM.  Identity for forward-only renders.
+        policy = jax.checkpoint_policies.save_only_these_names(
+            "packed_rows", "trace_out"
+        )
+
+        @functools.partial(jax.checkpoint, policy=policy)
+        def _shade_remat(scene, origins, dirs, rng, active):
+            color, _ = _shade_level(
+                scene, settings, trace_fn, origins, dirs, 0, rng, active,
+                rows_fn,
+            )
+            return color
+
+        return _shade_remat(scene, origins, dirs, rng, active)
+
     color, _ = _shade_level(
         scene, settings, trace_fn, origins, dirs, 0, rng, active, rows_fn
     )
@@ -492,6 +527,9 @@ def _shade_level(scene, settings, trace_fn, origins, dirs, depth, rng, active,
     kernel_rows = None
     if rows_fn is None and hasattr(trace_fn, "with_rows"):
         hit, kernel_rows = trace_fn.with_rows(origins, dirs, active)
+        # Saved under the remat policy: without this the backward's
+        # recompute would re-launch the trace kernel to rebuild the rows.
+        kernel_rows = checkpoint_name(kernel_rows, "trace_out")
     else:
         hit = level_trace(origins, dirs, active)
     # Remat seam (see hit_attributes): traces are the expensive,

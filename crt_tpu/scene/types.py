@@ -202,6 +202,7 @@ _SETTINGS_FIELDS = (
     "chunk_pixels",
     "wavefront",
     "wavefront_banks",
+    "remat_shading",
 )
 
 
@@ -267,6 +268,10 @@ class RenderSettings:
     # Bank count (wavefront capacity = banks * rays) for the iterative path;
     # 0 = auto (2^min(max_ray_depth,3), +2*(K+1) with GI on).
     wavefront_banks: int = 0
+    # Policy-remat the unrolled shading: the backward keeps only trace
+    # outputs + packed hit rows as residuals and recomputes the elementwise
+    # shading chain (identity for forward-only renders; numerics unchanged).
+    remat_shading: bool = False
 
     @property
     def no_shadows(self) -> bool:

@@ -177,3 +177,60 @@ def test_pallas_backend_gradients_match_bruteforce():
     np.testing.assert_allclose(
         np.asarray(gp), np.asarray(gb), rtol=2e-3, atol=1e-4
     )
+
+
+def test_remat_shading_gradients_bit_identical():
+    """remat_shading=True recomputes the elementwise shading chain in the
+    backward (policy remat keeping only trace outputs + packed rows); the
+    recompute is the same program, so value AND gradients must be
+    bit-identical to the default path."""
+    from crt_tpu.renderer import _render_flat
+    from crt_tpu.scene.procedural import make_test_scene
+
+    scene = make_test_scene(width=24, height=16, num_quads=4)
+    base = RenderSettings(backend="bruteforce")
+    remat = RenderSettings(backend="bruteforce", remat_shading=True)
+
+    def loss(v, li, c, settings):
+        s = scene.replace(vertices=v, light_intensity=li, cam_position=c)
+        return jnp.sum(_render_flat(s, settings))
+
+    args = (scene.vertices, scene.light_intensity, scene.cam_position)
+    vb, gb = jax.value_and_grad(
+        lambda *a: loss(*a, base), argnums=(0, 1, 2))(*args)
+    vr, gr = jax.value_and_grad(
+        lambda *a: loss(*a, remat), argnums=(0, 1, 2))(*args)
+    assert float(vb) == float(vr)
+    for a, b in zip(gb, gr):
+        assert bool(jnp.array_equal(a, b))
+
+
+def test_remat_shading_pallas_rows_path():
+    """Same remat-parity demand through the Pallas trace (interpret mode),
+    whose with_rows emit + packed_rows_from_kernel custom_vjp is the TPU
+    production path under jax.checkpoint."""
+    from crt_tpu.ops.pallas_trace import make_pallas_trace_fn
+    from crt_tpu.scene.procedural import make_test_scene
+
+    scene = make_test_scene(width=24, height=16, num_quads=4)
+    base = RenderSettings()
+    remat = RenderSettings(remat_shading=True)
+    trace_fn = make_pallas_trace_fn(scene, interpret=True)
+    rx, ry, _ = make_tiler(scene.height, scene.width)
+
+    def loss(v, settings):
+        s = scene.replace(vertices=v)
+        o, d = camera_ops.generate_rays(
+            s.cam_position, s.cam_rotation, s.cam_tan_half_fov,
+            s.width, s.height, rx, ry,
+        )
+        col = shade_wavefront(
+            s, settings, trace_fn, o, d,
+            rx.astype(jnp.uint32), ry.astype(jnp.uint32),
+        )
+        return jnp.sum(col ** 2)
+
+    vb, gb = jax.value_and_grad(lambda v: loss(v, base))(scene.vertices)
+    vr, gr = jax.value_and_grad(lambda v: loss(v, remat))(scene.vertices)
+    assert float(vb) == float(vr)
+    assert bool(jnp.array_equal(gb, gr))

@@ -142,3 +142,75 @@ def test_shadow_bins_cull_beyond_light():
     assert L > 4  # enough clusters for culling to be observable
     # every cluster is in front of the frustum but beyond the light
     assert int(counts.max()) < L // 2
+
+
+def test_shadow_apex_matches_generic(setup):
+    """The light-side shaft binning (bin_rays apex mode) must produce
+    IDENTICAL occlusion masks to the generic path on active lanes."""
+    scene, trace, shadow_o, valid = setup
+    Ll = scene.light_position.shape[0]
+    act = jnp.broadcast_to(valid[None], (Ll, valid.shape[0]))
+
+    occ_ref, light_dir, r2 = _generic_occlusion(
+        trace, shadow_o, scene.light_position, act
+    )
+    occ_apex = trace.shadow_apex(
+        shadow_o, light_dir, r2, scene.light_position, act, 2e-2
+    )
+    a = np.asarray(act)
+    np.testing.assert_array_equal(
+        np.asarray(occ_apex)[a], np.asarray(occ_ref)[a]
+    )
+    assert np.asarray(occ_ref)[a].any() and (~np.asarray(occ_ref)[a]).any()
+
+
+def test_apex_bins_cover_segment_oracle(setup):
+    """Every cluster some ACTIVE ray's segment [origin, light] actually
+    slab-intersects must survive the apex cull (conservativeness), and the
+    apex lists must not be larger than the generic frustum's."""
+    from crt_tpu.ops.pallas_trace import bin_rays, build_cluster_tables
+
+    scene, trace, shadow_o, valid = setup
+    tables = build_cluster_tables(scene)
+    cl_min = np.asarray(tables.cl_min)
+    cl_max = np.asarray(tables.cl_max)
+    L = cl_min.shape[0]
+
+    P = np.asarray(scene.light_position)[0]
+    R = shadow_o.shape[0]
+    o = np.asarray(shadow_o)
+    lv = P[None] - o
+    r = np.sqrt((lv * lv).sum(-1))
+    d = lv / np.maximum(r, 1e-30)[:, None]
+    act = np.asarray(valid)
+
+    slack = 2e-2
+    apex = jnp.broadcast_to(jnp.asarray(P), (R // TILE_RAYS, 3))
+    cl_apex, cnt_apex = bin_rays(
+        tables, jnp.asarray(o), jnp.asarray(d), TILE_RAYS,
+        jnp.asarray(act), apex=apex, apex_slack=slack,
+    )
+    cl_gen, cnt_gen = bin_rays(
+        tables, jnp.asarray(o), jnp.asarray(d), TILE_RAYS, jnp.asarray(act)
+    )
+    cnt_apex = np.asarray(cnt_apex)
+    cnt_gen = np.asarray(cnt_gen)
+    assert (cnt_apex <= cnt_gen).all()
+
+    # oracle per tile: clusters any active ray's [o, P] segment slab-hits
+    tiles = R // TILE_RAYS
+    cl_apex = np.asarray(cl_apex)[:, 0, :]
+    for ti in range(tiles):
+        sl = slice(ti * TILE_RAYS, (ti + 1) * TILE_RAYS)
+        o_t, d_t, a_t, r_t = o[sl], d[sl], act[sl], r[sl]
+        if not a_t.any():
+            continue
+        inv = 1.0 / np.where(np.abs(d_t) > 1e-30, d_t, 1e-30)
+        t0 = (cl_min[:, None, :] - o_t[None]) * inv[None]
+        t1 = (cl_max[:, None, :] - o_t[None]) * inv[None]
+        tn = np.minimum(t0, t1).max(-1)
+        tf = np.maximum(t0, t1).min(-1)
+        hit = (tf >= np.maximum(tn, 0.0)) & (tn <= r_t[None]) & a_t[None]
+        needed = set(np.nonzero(hit.any(-1))[0].tolist())
+        kept = set(cl_apex[ti, : cnt_apex[ti]].tolist())
+        assert needed <= kept, (ti, needed - kept)
