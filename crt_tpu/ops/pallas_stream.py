@@ -259,37 +259,15 @@ def _stream_kernel(
         best_tri_ref[0] = best_tri
 
 
-@functools.partial(
-    jax.jit, static_argnames=("pairs_cap", "tile_rays", "interpret")
-)
-def closest_hit_stream_flat(
-    tables: ClusterTables,  # cluster axis padded to SC_CLUSTERS
-    sc_min,
-    sc_max,
-    origins,  # [R, 3], R % tile_rays == 0
-    dirs,
-    active=None,
-    pairs_cap: int = 32768,
-    tile_rays: int = TILE_RAYS,
-    interpret: bool = False,
-):
-    """Streaming closest hit.  Returns (Hit, total_pairs)."""
-    R = origins.shape[0]
-    tiles = R // tile_rays
-    L2 = sc_min.shape[0]
-
-    pair_tile, pair_sc, pair_valid, total, pair_bits = bin_pairs(
-        sc_min, sc_max, origins, dirs, pairs_cap, tile_rays, active,
-        cl_min=tables.cl_min, cl_max=tables.cl_max,
-    )
-
-    o_t = origins.reshape(tiles, tile_rays, 3).swapaxes(1, 2)
-    d_t = dirs.reshape(tiles, tile_rays, 3).swapaxes(1, 2)
-
-    sc = tables.n.shape[0] // L2
+def _launch_stream_kernel(tables, sc, o_t, d_t, pair_tile, pair_sc,
+                          pair_valid, pair_bits, cap: int, tile_rays: int,
+                          interpret: bool):
+    """One pallas_call at a STATIC grid size ``cap`` over the first ``cap``
+    entries of the (tile-major) pair arrays."""
+    tiles = o_t.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,  # pair_tile, pair_sc, pair_valid, pair_bits
-        grid=(pairs_cap,),
+        grid=(cap,),
         in_specs=[
             pl.BlockSpec((1, 3, tile_rays),
                          lambda p, pt, ps, pv, pb: (pt[p], 0, 0)),
@@ -309,8 +287,7 @@ def closest_hit_stream_flat(
                          lambda p, pt, ps, pv, pb: (pt[p], 0, 0)),
         ],
     )
-
-    best_t, best_tri = pl.pallas_call(
+    return pl.pallas_call(
         _stream_kernel,
         grid_spec=grid_spec,
         out_shape=[
@@ -319,11 +296,80 @@ def closest_hit_stream_flat(
         ],
         interpret=interpret,
     )(
-        pair_tile, pair_sc, pair_valid, pair_bits,
+        pair_tile[:cap], pair_sc[:cap], pair_valid[:cap], pair_bits[:cap],
         o_t, d_t,
         tables.n, tables.nv0, tables.m, tables.c, tables.nobf,
         tables.tri_id,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pairs_cap", "tile_rays", "interpret", "tiered"),
+)
+def closest_hit_stream_flat(
+    tables: ClusterTables,  # cluster axis padded to SC_CLUSTERS
+    sc_min,
+    sc_max,
+    origins,  # [R, 3], R % tile_rays == 0
+    dirs,
+    active=None,
+    pairs_cap: int = 32768,
+    tile_rays: int = TILE_RAYS,
+    interpret: bool = False,
+    tiered: bool = True,
+):
+    """Streaming closest hit.  Returns (Hit, total_pairs).
+
+    ``tiered``: the grid size must be static, but the LIVE pair count is
+    data-dependent and usually far below ``pairs_cap`` (sized for the worst
+    frame) — dead padding pairs still pay per-grid-step sequencing.  With
+    tiering, four kernels at caps {cap/8, cap/4, cap/2, cap} are compiled
+    and ``lax.switch`` executes only the smallest one that holds the live
+    count, all inside the jit (pair arrays are statically sliced per
+    branch; the binning itself is shared).  Bit-identical output: dead
+    pairs do no work in any tier.
+    """
+    R = origins.shape[0]
+    tiles = R // tile_rays
+    L2 = sc_min.shape[0]
+
+    pair_tile, pair_sc, pair_valid, total, pair_bits = bin_pairs(
+        sc_min, sc_max, origins, dirs, pairs_cap, tile_rays, active,
+        cl_min=tables.cl_min, cl_max=tables.cl_max,
+    )
+
+    o_t = origins.reshape(tiles, tile_rays, 3).swapaxes(1, 2)
+    d_t = dirs.reshape(tiles, tile_rays, 3).swapaxes(1, 2)
+
+    sc = tables.n.shape[0] // L2
+    caps = [pairs_cap]
+    if tiered:
+        caps = sorted(
+            {max(1, pairs_cap >> s) for s in (3, 2, 1, 0)}
+        )
+
+    def make_branch(cap):
+        def branch(args):
+            return _launch_stream_kernel(
+                tables, sc, *args, cap=cap, tile_rays=tile_rays,
+                interpret=interpret,
+            )
+        return branch
+
+    args = (o_t, d_t, pair_tile, pair_sc, pair_valid, pair_bits)
+    if len(caps) == 1:
+        best_t, best_tri = make_branch(caps[0])(args)
+    else:
+        # smallest tier that holds every live pair (total > pairs_cap
+        # would overflow in ANY tier — callers size the cap, tests assert)
+        tier = jnp.searchsorted(
+            jnp.asarray(caps, jnp.int32), total, side="left"
+        )
+        tier = jnp.minimum(tier, len(caps) - 1)
+        best_t, best_tri = jax.lax.switch(
+            tier, [make_branch(c) for c in caps], args
+        )
     # tiles with zero pairs never get initialized by the kernel — their
     # frustum intersected nothing, so they are misses by construction;
     # mask them explicitly.
@@ -338,7 +384,8 @@ def closest_hit_stream_flat(
 def make_stream_trace_fn(scene, pairs_cap: int | None = None,
                          tile_rays: int | None = None,
                          interpret: bool = False,
-                         sc_clusters: int = SC_CLUSTERS):
+                         sc_clusters: int = SC_CLUSTERS,
+                         tiered: bool = True):
     """trace_fn factory for the HBM-streaming backend ("pallas_stream")."""
     tile_rays = tile_rays or TILE_RAYS
     tables = build_cluster_tables(scene)
@@ -372,6 +419,7 @@ def make_stream_trace_fn(scene, pairs_cap: int | None = None,
             tables, sc_min, sc_max,
             jax.lax.stop_gradient(o), jax.lax.stop_gradient(d), a,
             pairs_cap=pairs_cap, tile_rays=tile_rays, interpret=interpret,
+            tiered=tiered,
         )
         return Hit(
             t=hit.t[:R].reshape(batch_shape),

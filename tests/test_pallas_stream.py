@@ -133,3 +133,29 @@ def test_stream_active_mask_and_overflow_report():
     assert int(total2) == 0
     assert np.isinf(np.asarray(hit.t)).all()
     assert (np.asarray(hit.tri) == -1).all()
+
+
+def test_stream_tiered_matches_untier():
+    """lax.switch tier selection must be bit-identical to the full-cap
+    launch, and must pick the smallest tier that holds the live count."""
+    scene, o, d = _scene_rays(num_quads=24)
+    tables, sc_min, sc_max = ps.build_supercluster_boxes(
+        build_cluster_tables(scene)
+    )
+    tables = jax.tree.map(jax.lax.stop_gradient, tables)
+    cap = 512
+    hit_full, total = ps.closest_hit_stream_flat(
+        tables, sc_min, sc_max, o, d, pairs_cap=cap, tile_rays=TR,
+        interpret=True, tiered=False,
+    )
+    hit_tier, total2 = ps.closest_hit_stream_flat(
+        tables, sc_min, sc_max, o, d, pairs_cap=cap, tile_rays=TR,
+        interpret=True, tiered=True,
+    )
+    assert int(total) == int(total2)
+    # the tiering is only a real test if a smaller tier actually runs
+    assert int(total) <= cap // 2
+    np.testing.assert_array_equal(np.asarray(hit_full.t),
+                                  np.asarray(hit_tier.t))
+    np.testing.assert_array_equal(np.asarray(hit_full.tri),
+                                  np.asarray(hit_tier.tri))
