@@ -80,3 +80,49 @@ def test_grad_graph_has_no_default_precision_dots():
         return jnp.sum(_render_flat(s, RenderSettings(backend="bruteforce")))
 
     _assert_no_default_dots(jax.grad(loss), scene.vertices)
+
+
+def test_sharded_graph_has_no_default_precision_dots():
+    """Same guard over the rays-DP shard_map path (parallel/sharded.py)."""
+    from crt_tpu.parallel.sharded import make_mesh, render_image_sharded
+
+    scene = make_test_scene(width=32, height=16, num_quads=3,
+                            with_reflective=True)
+    mesh = make_mesh()
+    _assert_no_default_dots(
+        lambda s: render_image_sharded(
+            s, RenderSettings(backend="bruteforce"), mesh=mesh
+        ),
+        scene,
+    )
+
+
+def test_scene_sharded_graph_has_no_default_precision_dots():
+    """Same guard over the partitioned-scene path (scene_sharded.py)."""
+    from crt_tpu.parallel.scene_sharded import render_image_scene_sharded
+
+    scene = make_test_scene(width=32, height=16, num_quads=4)
+    _assert_no_default_dots(
+        lambda s: render_image_scene_sharded(
+            s, RenderSettings(max_ray_depth=1)
+        ),
+        scene,
+    )
+
+
+def test_grad_sharded_graph_has_no_default_precision_dots():
+    """inverse_render_step (psum'd gradient all-reduce) stays exact too."""
+    from crt_tpu.parallel.sharded import (
+        default_trainable_params, inverse_render_step, make_mesh,
+    )
+
+    scene = make_test_scene(width=32, height=16, num_quads=3)
+    mesh = make_mesh()
+    params = default_trainable_params(scene)
+    _assert_no_default_dots(
+        lambda target: inverse_render_step(
+            scene, target, params,
+            settings=RenderSettings(backend="bruteforce"), mesh=mesh,
+        )[1],
+        jnp.zeros((16, 32, 3), jnp.float32),
+    )
