@@ -387,6 +387,56 @@ def _trace_kernel(
         best_t_ref, best_tri_ref = rest
     tile = pl.program_id(0)
     count = counts_ref[tile]
+    _trace_tile_body(
+        count, cluster_list_ref, o_ref, d_ref, n_ref, nv0_ref, m_ref, c_ref,
+        nobf_ref, tid_ref,
+        (rows_ref, best_t_ref, best_tri_ref, best_rows_ref) if emit_k
+        else (best_t_ref, best_tri_ref),
+        emit_k,
+    )
+
+
+def _trace_kernel_compact(
+    nlive_ref,  # [1] SMEM — number of live (count > 0) tiles
+    tile_ids_ref,  # [grid] SMEM — live-first tile permutation (see launcher)
+    counts_ref,  # [tiles] SMEM
+    cluster_list_ref,  # [1, 1, L] SMEM (block tile_ids[p])
+    o_ref,  # [1, 3, TR] VMEM (block tile_ids[p])
+    d_ref,
+    n_ref, nv0_ref, m_ref, c_ref, nobf_ref, tid_ref,
+    *rest,
+    emit_k: int = 0,
+):
+    """Tile-compacted launch: grid step p handles tile tile_ids[p].  Steps
+    past nlive re-point at the LAST live tile's blocks (no new DMA — the
+    pipeline sees an unchanged block index) and skip all compute and
+    writes, so dead tiles cost only grid sequencing.  Unvisited tiles'
+    output blocks are garbage; the launcher masks them with counts > 0
+    (count == 0 tiles are misses by construction)."""
+    if emit_k:
+        rows_ref, best_t_ref, best_tri_ref, best_rows_ref = rest
+    else:
+        best_t_ref, best_tri_ref = rest
+    p = pl.program_id(0)
+
+    @pl.when(p < nlive_ref[0])
+    def _live():
+        count = counts_ref[tile_ids_ref[p]]
+        _trace_tile_body(
+            count, cluster_list_ref, o_ref, d_ref, n_ref, nv0_ref, m_ref,
+            c_ref, nobf_ref, tid_ref,
+            (rows_ref, best_t_ref, best_tri_ref, best_rows_ref) if emit_k
+            else (best_t_ref, best_tri_ref),
+            emit_k,
+        )
+
+
+def _trace_tile_body(count, cluster_list_ref, o_ref, d_ref, n_ref, nv0_ref,
+                     m_ref, c_ref, nobf_ref, tid_ref, rest, emit_k):
+    if emit_k:
+        rows_ref, best_t_ref, best_tri_ref, best_rows_ref = rest
+    else:
+        best_t_ref, best_tri_ref = rest
 
     ox, oy, oz = o_ref[0, 0:1, :], o_ref[0, 1:2, :], o_ref[0, 2:3, :]  # [1,TR]
     dx, dy, dz = d_ref[0, 0:1, :], d_ref[0, 1:2, :], d_ref[0, 2:3, :]
@@ -702,6 +752,113 @@ def _closest_hit_binned(
     return out[0], out[1]
 
 
+def _closest_hit_binned_compact(
+    tables: ClusterTables,
+    o_t: jnp.ndarray,  # [tiles, 3, TR]
+    d_t: jnp.ndarray,
+    cluster_list: jnp.ndarray,  # [tiles, 1, L] i32
+    counts: jnp.ndarray,  # [tiles] i32
+    tile_rays: int,
+    interpret: bool,
+    rows_table: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, ...]:
+    """_closest_hit_binned with LIVE-TILE compaction: sparse wavefronts
+    (shadow tiles are ~85 % dead on the course benchmark — zero clusters
+    after frustum culling) pay a grid step + ray-tile DMA per dead tile in
+    the plain launch.  Here a live-first tile permutation rides the scalar
+    prefetch, the BlockSpec index maps follow it, and lax.switch picks the
+    smallest grid tier in {tiles/8, tiles/4, tiles/2, tiles} that holds the
+    live count — dead tiles beyond it are never sequenced at all.  Tiles
+    the kernel never visits are misses by construction (count == 0) and
+    are masked outside.  Bit-identical to the plain launch."""
+    tiles = o_t.shape[0]
+    L = tables.n.shape[0]
+    emit_k = 0 if rows_table is None else int(rows_table.shape[2])
+
+    live = counts > 0
+    n_live = jnp.sum(live, dtype=jnp.int32)
+    order = jnp.argsort(~live, stable=True).astype(jnp.int32)
+    # steps >= n_live re-point at the LAST live tile: the block index stays
+    # put, so the pipeline issues no DMA and the kernel skips them via
+    # p < n_live
+    step = jnp.arange(tiles, dtype=jnp.int32)
+    tile_ids = order[jnp.minimum(step, jnp.maximum(n_live - 1, 0))]
+    nlive_arr = n_live.reshape(1)
+
+    def launch(cap):
+        in_specs = [
+            pl.BlockSpec((1, 1, L), lambda i, nl, ts, c: (ts[i], 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3, tile_rays), lambda i, nl, ts, c: (ts[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, tile_rays), lambda i, nl, ts, c: (ts[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # n
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # nv0
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # m
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # c
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # nobf
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # tid
+        ]
+        out_specs = [
+            pl.BlockSpec((1, 1, tile_rays), lambda i, nl, ts, c: (ts[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile_rays), lambda i, nl, ts, c: (ts[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((tiles, 1, tile_rays), jnp.float32),
+            jax.ShapeDtypeStruct((tiles, 1, tile_rays), jnp.int32),
+        ]
+        operands = [
+            nlive_arr, tile_ids[:cap], counts, cluster_list, o_t, d_t,
+            tables.n, tables.nv0, tables.m, tables.c, tables.nobf,
+            tables.tri_id,
+        ]
+        if emit_k:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            operands.append(rows_table)
+            out_specs.append(
+                pl.BlockSpec((1, emit_k, tile_rays),
+                             lambda i, nl, ts, c: (ts[i], 0, 0),
+                             memory_space=pltpu.VMEM)
+            )
+            out_shape.append(
+                jax.ShapeDtypeStruct((tiles, emit_k, tile_rays), jnp.float32)
+            )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,  # n_live, tile_ids, counts
+            grid=(cap,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+        )
+        return pl.pallas_call(
+            functools.partial(_trace_kernel_compact, emit_k=emit_k),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(*operands)
+
+    caps = sorted({max(1, tiles >> s) for s in (3, 2, 1, 0)})
+    if len(caps) == 1:
+        out = launch(caps[0])
+    else:
+        tier = jnp.searchsorted(
+            jnp.asarray(caps, jnp.int32), n_live, side="left"
+        )
+        tier = jnp.minimum(tier, len(caps) - 1)
+        out = jax.lax.switch(
+            tier, [functools.partial(launch, c) for c in caps]
+        )
+
+    lv = live[:, None, None]
+    best_t = jnp.where(lv, out[0], jnp.inf)
+    best_tri = jnp.where(lv, out[1], -1)
+    if emit_k:
+        return best_t, best_tri, jnp.where(lv, out[2], 0.0)
+    return best_t, best_tri
+
+
 @functools.partial(jax.jit, static_argnames=("tile_rays", "interpret"))
 def closest_hit_pallas_flat(
     tables: ClusterTables,
@@ -931,7 +1088,7 @@ def make_pallas_trace_fn(scene, tile_rays: int | None = None,
         d_t = jax.lax.stop_gradient(d_flat).reshape(
             tiles, tile_rays, 3
         ).swapaxes(1, 2)
-        best_t, best_tri = _closest_hit_binned(
+        best_t, best_tri = _closest_hit_binned_compact(
             tables, o_t, d_t, cluster_list, counts, tile_rays, interpret
         )
         sh_t = best_t.reshape(-1)

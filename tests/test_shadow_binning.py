@@ -214,3 +214,42 @@ def test_apex_bins_cover_segment_oracle(setup):
         needed = set(np.nonzero(hit.any(-1))[0].tolist())
         kept = set(cl_apex[ti, : cnt_apex[ti]].tolist())
         assert needed <= kept, (ti, needed - kept)
+
+
+def test_compact_launcher_matches_plain(setup):
+    """_closest_hit_binned_compact (live-first tile permutation + tiered
+    grid) must be bit-identical to the plain launch on a sparse wavefront."""
+    from crt_tpu.ops.pallas_trace import (
+        _closest_hit_binned, _closest_hit_binned_compact, bin_rays,
+        build_cluster_tables,
+    )
+
+    scene, trace, shadow_o, valid = setup
+    tables = build_cluster_tables(scene)
+    P = scene.light_position[0]
+    R = shadow_o.shape[0]
+    d = P[None] - shadow_o
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    # kill most tiles: only the first quarter of lanes stay active
+    act = valid & (jnp.arange(R) < R // 4)
+    cl, cnt = bin_rays(tables, shadow_o, d, TILE_RAYS, act)
+    assert int((np.asarray(cnt) == 0).sum()) > 0  # sparse by construction
+
+    tiles = R // TILE_RAYS
+    o_t = shadow_o.reshape(tiles, TILE_RAYS, 3).swapaxes(1, 2)
+    d_t = d.reshape(tiles, TILE_RAYS, 3).swapaxes(1, 2)
+    t0, tri0 = _closest_hit_binned(
+        tables, o_t, d_t, cl, cnt, TILE_RAYS, True
+    )
+    t1, tri1 = _closest_hit_binned_compact(
+        tables, o_t, d_t, cl, cnt, TILE_RAYS, True
+    )
+    live = np.asarray(cnt) > 0
+    # live tiles: bit-identical; dead tiles: forced misses either way
+    np.testing.assert_array_equal(np.asarray(t0)[live], np.asarray(t1)[live])
+    np.testing.assert_array_equal(
+        np.asarray(tri0)[live], np.asarray(tri1)[live]
+    )
+    assert np.isinf(np.asarray(t1)[~live]).all()
+    assert (np.asarray(tri1)[~live] == -1).all()
