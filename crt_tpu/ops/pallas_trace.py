@@ -859,7 +859,9 @@ def _closest_hit_binned_compact(
     return best_t, best_tri
 
 
-@functools.partial(jax.jit, static_argnames=("tile_rays", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("tile_rays", "interpret", "compact")
+)
 def closest_hit_pallas_flat(
     tables: ClusterTables,
     origins: jnp.ndarray,  # [R, 3], R % tile_rays == 0
@@ -868,6 +870,7 @@ def closest_hit_pallas_flat(
     tile_rays: int = TILE_RAYS,
     interpret: bool = False,
     rows_table=None,  # [L, S, Kp] -> also return emitted rows [Kp, R]
+    compact: bool = False,  # live-tile compacted launch (sparse wavefronts)
 ):
     R = origins.shape[0]
     tiles = R // tile_rays
@@ -876,7 +879,8 @@ def closest_hit_pallas_flat(
 
     o_t = origins.reshape(tiles, tile_rays, 3).swapaxes(1, 2)  # [tiles,3,TR]
     d_t = dirs.reshape(tiles, tile_rays, 3).swapaxes(1, 2)
-    out = _closest_hit_binned(
+    launcher = _closest_hit_binned_compact if compact else _closest_hit_binned
+    out = launcher(
         tables, o_t, d_t, cluster_list, counts, tile_rays, interpret,
         rows_table=rows_table,
     )
@@ -892,7 +896,8 @@ def make_pallas_trace_fn(scene, tile_rays: int | None = None,
                          interpret: bool = False,
                          use_occlusion_kernel: bool = False,
                          cluster_size: int | None = None,
-                         use_shadow_binning: bool = False):
+                         use_shadow_binning: bool = False,
+                         compact_masked: bool = False):
     """trace_fn factory for the Pallas backend.
 
     ``use_occlusion_kernel`` exposes the any-hit early-exit kernel as
@@ -908,6 +913,11 @@ def make_pallas_trace_fn(scene, tile_rays: int | None = None,
     full-frame on the course benchmark scene (the generic path's light-major
     tiles already give per-light direction bounds, and the per-pair gathers
     cost more than the shared origin reduction saves), so off by default.
+    ``compact_masked`` routes every ACTIVE-MASKED trace (bounce wavefronts,
+    whose live lanes thin out with depth) through the live-tile compacted
+    launch (see _closest_hit_binned_compact); the shadow path always uses
+    it.  Opt-in pending a TPU measurement on branching/GI scenes — it
+    compiles 4 grid tiers per trace call site.
     """
     tile_rays = tile_rays or TILE_RAYS
     tables = build_cluster_tables(scene, cluster_size)
@@ -946,6 +956,7 @@ def make_pallas_trace_fn(scene, tile_rays: int | None = None,
             tile_rays=tile_rays,
             interpret=interpret,
             rows_table=rows_table,
+            compact=compact_masked and a is not None,
         )
         hit, rows = out if want_rows else (out, None)
         hit = Hit(

@@ -253,3 +253,71 @@ def test_compact_launcher_matches_plain(setup):
     )
     assert np.isinf(np.asarray(t1)[~live]).all()
     assert (np.asarray(tri1)[~live] == -1).all()
+
+
+def test_compact_masked_full_render_parity():
+    """make_pallas_trace_fn(compact_masked=True) must render bit-identically
+    (masked bounce traces take the compacted launch, incl. rows emission)."""
+    from crt_tpu.ops import camera as camera_ops
+    from crt_tpu.ops.pallas_trace import make_pallas_trace_fn
+    from crt_tpu.ops.shade import shade_wavefront
+    from crt_tpu.renderer import make_tiler
+    from crt_tpu.scene.procedural import make_test_scene
+    from crt_tpu.scene.types import RenderSettings
+
+    scene = make_test_scene(width=24, height=16, num_quads=6,
+                            with_reflective=True)
+    rx, ry, _ = make_tiler(scene.height, scene.width)
+    o, d = camera_ops.generate_rays(
+        scene.cam_position, scene.cam_rotation, scene.cam_tan_half_fov,
+        scene.width, scene.height, rx, ry,
+    )
+    settings = RenderSettings()
+
+    def render(trace_fn):
+        return shade_wavefront(
+            scene, settings, trace_fn, o, d,
+            rx.astype(jnp.uint32), ry.astype(jnp.uint32),
+        )
+
+    img_plain = render(make_pallas_trace_fn(scene, interpret=True))
+    img_comp = render(
+        make_pallas_trace_fn(scene, interpret=True, compact_masked=True)
+    )
+    np.testing.assert_array_equal(np.asarray(img_plain), np.asarray(img_comp))
+
+
+def test_compact_masked_grads_bit_identical():
+    """Gradients through the compacted rows emission must match the plain
+    launch bit-for-bit (the masking is upstream of the rows custom_vjp)."""
+    from crt_tpu.ops import camera as camera_ops
+    from crt_tpu.ops.pallas_trace import make_pallas_trace_fn
+    from crt_tpu.ops.shade import shade_wavefront
+    from crt_tpu.renderer import make_tiler
+    from crt_tpu.scene.procedural import make_test_scene
+    from crt_tpu.scene.types import RenderSettings
+
+    scene = make_test_scene(width=24, height=16, num_quads=6,
+                            with_reflective=True)
+    rx, ry, _ = make_tiler(scene.height, scene.width)
+    settings = RenderSettings()
+
+    def loss(v, trace_fn):
+        s = scene.replace(vertices=v)
+        o, d = camera_ops.generate_rays(
+            s.cam_position, s.cam_rotation, s.cam_tan_half_fov,
+            s.width, s.height, rx, ry,
+        )
+        col = shade_wavefront(
+            s, settings, trace_fn, o, d,
+            rx.astype(jnp.uint32), ry.astype(jnp.uint32),
+        )
+        return jnp.sum(col ** 2)
+
+    tf_plain = make_pallas_trace_fn(scene, interpret=True)
+    tf_comp = make_pallas_trace_fn(scene, interpret=True,
+                                   compact_masked=True)
+    g_plain = jax.grad(lambda v: loss(v, tf_plain))(scene.vertices)
+    g_comp = jax.grad(lambda v: loss(v, tf_comp))(scene.vertices)
+    assert bool(jnp.array_equal(g_plain, g_comp))
+    assert float(jnp.abs(g_plain).max()) > 0
