@@ -53,7 +53,7 @@ def test_matches_recursive_deep_depth():
         width=32, height=24, num_quads=6,
         with_reflective=True, with_refractive=True,
     )
-    rec, it = _render_both(scene, max_ray_depth=5)
+    rec, it = _render_both(scene, max_ray_depth=4)
     np.testing.assert_allclose(it, rec, atol=1e-5)
 
 
