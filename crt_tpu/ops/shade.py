@@ -104,11 +104,20 @@ def build_packed(scene, force_all: bool = False) -> jnp.ndarray:
     """The per-triangle shading-constant table, transposed [K, T].
 
     Layout: v0|v1|v2 (+n0|n1|n2 if smooth needed) (+uv0|uv1|uv2 if uv
-    needed) — columns the scene statically cannot need are never packed.
-    Transposed so the per-hit gather output is [K, R]: XLA pads the minor
-    dim to 128 lanes, so gathering [R, K] rows would pad K=9..27 up to 128
-    (a 5-14x HBM blowup, fatal for deep unrolled recursion); [K, R] pads
-    only K sublanes (<= 1.4x).
+    needed) | mat_type|mat_albedo_tex|mat_smooth|mat_ior — columns the
+    scene statically cannot need are never packed; the four material rows
+    are ALWAYS the last four.  Transposed so the per-hit gather output is
+    [K, R]: XLA pads the minor dim to 128 lanes, so gathering [R, K] rows
+    would pad K=13..31 up to 128 (a 4-10x HBM blowup, fatal for deep
+    unrolled recursion); [K, R] pads only K sublanes (<= 1.4x).
+
+    The material rows replace six standalone [T]->[R] dynamic gathers per
+    hit_attributes call (tri_material -> type/tex/smooth/ior chains) —
+    XLA:TPU lowers 1-row small-table gathers pathologically (~17.6 ms per
+    2 M lanes measured on a 7-material scene vs ~4 ms for 4 extra rows on
+    this gather).  The discrete rows are stop-gradiented; the ior row stays
+    differentiable, so d/d mat_ior flows through the gather VJP exactly as
+    it used to through scene.mat_ior[mat].  Small ints are exact in f32.
     """
     idx = scene.tri_vidx  # [T, 3]
     cols = [
@@ -128,6 +137,17 @@ def build_packed(scene, force_all: bool = False) -> jnp.ndarray:
             scene.vertex_uvs[idx[:, 1]],
             scene.vertex_uvs[idx[:, 2]],
         ]
+    if scene.has_materials:
+        mt = scene.tri_material  # [T]
+        sg = jax.lax.stop_gradient
+        cols += [
+            sg(scene.mat_type[mt].astype(jnp.float32))[:, None],
+            sg(scene.mat_albedo_tex[mt].astype(jnp.float32))[:, None],
+            sg(scene.mat_smooth[mt].astype(jnp.float32))[:, None],
+            scene.mat_ior[mt][:, None],
+        ]
+    else:
+        cols += [jnp.zeros((idx.shape[0], 4), jnp.float32)]
     return jnp.concatenate(cols, axis=-1).T  # [K, T]
 
 
@@ -267,8 +287,7 @@ def hit_attributes(scene, origins, dirs, hit: Hit,
             + n2 * bary_v[..., None]
             + n0 * (1.0 - bary_u - bary_v)[..., None]
         )
-        mat_pre = scene.tri_material[tri]
-        smooth_flag = scene.mat_smooth[mat_pre]
+        smooth_flag = rows[-2] > 0.5  # mat_smooth row (see build_packed)
         normal = jnp.where(smooth_flag[..., None], smooth_n, face_n)
 
     if need_uv:
@@ -281,7 +300,9 @@ def hit_attributes(scene, origins, dirs, hit: Hit,
     else:
         uv = jnp.zeros(t.shape + (3,), jnp.float32)
 
-    mat = scene.tri_material[tri]
+    # Material constants decoded from the packed rows (always the last
+    # four — build_packed): no standalone [T]->[R] gathers on the hot path.
+    sg = jax.lax.stop_gradient
     return HitAttributes(
         valid=valid,
         t=t,
@@ -290,9 +311,9 @@ def hit_attributes(scene, origins, dirs, hit: Hit,
         uv=uv,
         bary_u=bary_u,
         bary_v=bary_v,
-        mat_type=scene.mat_type[mat],
-        albedo_tex=scene.mat_albedo_tex[mat],
-        ior=scene.mat_ior[mat],
+        mat_type=sg(rows[-4]).astype(jnp.int32),
+        albedo_tex=sg(rows[-3]).astype(jnp.int32),
+        ior=rows[-1],
     )
 
 
@@ -393,12 +414,36 @@ def _occlusion_masks(scene, trace_fn, point, normal, light_positions,
     # non-refractive hit terminates; the LAST hit's distance (along the last
     # bent segment) is compared against the original light distance, as the
     # reference does.
-    o = shadow_o
-    alive = act  # rays still marching through glass
-    last_valid = jnp.zeros(act.shape, bool)
-    last_t = jnp.zeros(act.shape, jnp.float32)
+    #
+    # Perf (measured, 11-01-scene8): the marching step needs only the hit
+    # triangle's face normal + material class + ior.  Fetching those as
+    # per-vertex/per-material dynamic gathers (7 small-table [T]->[lanes]
+    # gathers) hits the XLA:TPU 1-row gather pathology (~15 ms per gather
+    # per 2 M lanes, see pallas_segsum.packed_gather_ranked_fused) — it made
+    # this loop ~30 s of a 31.5 s frame.  Instead all marching constants
+    # ride ONE [5, T] f32 column gather (face_n | is_refr | ior), and
+    # iterations past the first run under a lax.cond so chunks/bounces whose
+    # shadow rays never enter glass skip the trace entirely.
+    if rows_fn is None:
+        verts = jax.lax.stop_gradient(scene.vertices)
+        tv = scene.tri_vidx
+        v0t, v1t, v2t = verts[tv[:, 0]], verts[tv[:, 1]], verts[tv[:, 2]]
+        face_nt = vecmath.safe_normalize(vecmath.cross(v1t - v0t, v2t - v0t))
+        mat_t = scene.tri_material  # [T]
+        march_tab = jax.lax.stop_gradient(
+            jnp.concatenate(
+                [
+                    face_nt.T,  # rows 0-2
+                    (scene.mat_type[mat_t] == MATERIAL_REFRACTIVE)
+                    .astype(jnp.float32)[None],  # row 3
+                    scene.mat_ior[mat_t][None],  # row 4
+                ],
+                axis=0,
+            )
+        )  # [5, T]
 
-    for _ in range(max_ray_depth + 1):
+    def march_step(carry):
+        o, d, alive, last_valid, last_t = carry
         sh = trace_fn(o, d, alive)
         sh_t = jax.lax.stop_gradient(sh.t)
         tri = jnp.maximum(jax.lax.stop_gradient(sh.tri), 0)
@@ -407,30 +452,27 @@ def _occlusion_masks(scene, trace_fn, point, normal, light_positions,
         last_valid = jnp.where(alive, sh.valid, last_valid)
         last_t = jnp.where(alive, jnp.where(sh.valid, sh_t, 0.0), last_t)
 
-        mat = scene.tri_material[tri]
-        is_refr = hit_valid & (scene.mat_type[mat] == MATERIAL_REFRACTIVE)
-
-        # Geometric normal at the hit (face normal suffices for marching).
-        # Partitioned scenes have no raw vertices on-device; the packed
-        # table's v0|v1|v2 rows (build_packed layout, always the first 9)
-        # come back through the rows_fn psum exchange instead.
         if rows_fn is None:
-            idx = scene.tri_vidx[tri]
-            verts = jax.lax.stop_gradient(scene.vertices)
-            v0, v1, v2 = (
-                verts[idx[..., 0]], verts[idx[..., 1]], verts[idx[..., 2]]
-            )
+            mrows = march_tab[:, tri]  # [5, Ll*R] — one fused gather
+            face_n = jnp.moveaxis(mrows[0:3], 0, -1)
+            is_refr = hit_valid & (mrows[3] > 0.5)
+            ior = mrows[4]
         else:
+            # Partitioned scenes have no raw vertices on-device; the packed
+            # table's v0|v1|v2 rows (build_packed layout, always the first
+            # 9) come back through the rows_fn psum exchange instead.
             rows = jax.lax.stop_gradient(rows_fn(tri))  # [K, Ll*R]
             v0 = jnp.moveaxis(rows[0:3], 0, -1)
             v1 = jnp.moveaxis(rows[3:6], 0, -1)
             v2 = jnp.moveaxis(rows[6:9], 0, -1)
-        face_n = vecmath.safe_normalize(vecmath.cross(v1 - v0, v2 - v0))
+            face_n = vecmath.safe_normalize(vecmath.cross(v1 - v0, v2 - v0))
+            mat = scene.tri_material[tri]
+            is_refr = hit_valid & (scene.mat_type[mat] == MATERIAL_REFRACTIVE)
+            ior = scene.mat_ior[mat]
 
         d_dot_n = vecmath.dot(d, face_n)
         exiting = d_dot_n > 0.0
         n_eff = jnp.where(exiting[..., None], -face_n, face_n)
-        ior = scene.mat_ior[mat]
         outside_ior = jnp.where(exiting, ior, 1.0)
         inside_ior = jnp.where(exiting, 1.0, ior)
         new_d, ok = vecmath.refract(d, n_eff, outside_ior, inside_ior)
@@ -439,7 +481,25 @@ def _occlusion_masks(scene, trace_fn, point, normal, light_positions,
         cont = is_refr & ok  # TIR stops (occluded by the glass surface)
         o = jnp.where(cont[..., None], hit_point - n_eff * refraction_bias, o)
         d = jnp.where(cont[..., None], new_d, d)
-        alive = cont
+        return o, d, cont, last_valid, last_t
+
+    carry = (
+        shadow_o,
+        d,
+        act,  # rays still marching through glass
+        jnp.zeros(act.shape, bool),
+        jnp.zeros(act.shape, jnp.float32),
+    )
+    carry = march_step(carry)  # first segment: every diffuse shadow ray
+    for _ in range(max_ray_depth):
+        # Bent continuations only exist where glass occludes a light path —
+        # usually no lanes at all, so the whole step (trace + gather) sits
+        # under a cond.  Python loop (not scan): trace_fn's binning tiers
+        # may specialize per call site, and max_ray_depth is tiny.
+        carry = jax.lax.cond(
+            jnp.any(carry[2]), march_step, lambda c: c, carry
+        )
+    *_, last_valid, last_t = carry
 
     occluded = last_valid & (last_t * last_t <= r2_flat)
     occluded = checkpoint_name(occluded, "trace_out")

@@ -88,7 +88,9 @@ def make_trace_fn(scene: Scene, settings: RenderSettings):
     if backend == "pallas":
         from crt_tpu.ops.pallas_trace import make_pallas_trace_fn
 
-        return make_pallas_trace_fn(scene)
+        return make_pallas_trace_fn(
+            scene, compact_masked=settings.compact_bounces
+        )
     if backend == "pallas_stream":
         from crt_tpu.ops.pallas_stream import make_stream_trace_fn
 

@@ -203,6 +203,7 @@ _SETTINGS_FIELDS = (
     "wavefront",
     "wavefront_banks",
     "remat_shading",
+    "compact_bounces",
 )
 
 
@@ -272,6 +273,11 @@ class RenderSettings:
     # outputs + packed hit rows as residuals and recomputes the elementwise
     # shading chain (identity for forward-only renders; numerics unchanged).
     remat_shading: bool = False
+    # Route active-masked bounce traces (Pallas backend) through the
+    # live-tile compacted launch — sparse wavefronts skip dead tiles'
+    # grid steps at the cost of 4 compiled grid tiers per call site.
+    # Bit-identical output (tests/test_shadow_binning.py).
+    compact_bounces: bool = False
 
     @property
     def no_shadows(self) -> bool:
