@@ -92,7 +92,21 @@ def scene_from_json(text: str, asset_root: str = "/", **kwargs) -> Scene:
 
 
 def _load_bitmap(path: str) -> np.ndarray:
-    """Decode an image file to float32 RGB / 255 (crt_image_stbi.cpp:16-40)."""
+    """Decode an image file to float32 RGB / 255 (crt_image_stbi.cpp:16-40).
+
+    JPEGs go through the stb_image-exact baseline decoder so texel values
+    match the reference's stbi_load byte-for-byte (PIL/libjpeg-turbo differs
+    by ±1-2 codes around block edges); PIL handles everything else (PNG etc.
+    decode losslessly, so PIL == stb there) and is the fallback for JPEG
+    features outside the baseline path.
+    """
+    if path.lower().endswith((".jpg", ".jpeg")):
+        from crt_tpu.io import jpeg_stb
+
+        try:
+            return jpeg_stb.decode_file(path).astype(np.float32) / 255.0
+        except jpeg_stb.UnsupportedJPEG:
+            pass
     from PIL import Image as PILImage
 
     with PILImage.open(path) as im:

@@ -41,11 +41,13 @@ HEAD_GOLDEN_CASES = [
     ("12-01-textures/scene0.crtscene", "12-01-textures-scene0", {}),
     ("12-01-textures/scene1.crtscene", "12-01-textures-scene1", {}),
     ("12-01-textures/scene2.crtscene", "12-01-textures-scene2", {}),
-    # scene3's residual (~0.4% of pixels, all on the dragon JPEG) is
-    # irreducible: the golden's texel colors match NO texel of PIL's
-    # decode in a 3x3 neighborhood (stb_image vs libjpeg IDCT/upsampling
-    # differences), amplified by the quad's near-integer texel-per-pixel
-    # mapping putting ~every boundary pixel exactly on a texel edge.
+    # scene3's residual (~0.4% of pixels, all on the dragon JPEG) is texel
+    # SELECTION, not texel values: io/jpeg_stb.py decodes bit-exact vs the
+    # reference's stbi_load, and tools/oracle_ref_f32.py (this decode + the
+    # reference's exact f32 expression order) reproduces the golden with
+    # ZERO mismatched pixels.  The remaining flips are our renderer's f32
+    # op-order noise in the uv chain, amplified by the quad's ~1
+    # texel-per-pixel mapping putting boundary pixels on texel edges.
     ("12-01-textures/scene3.crtscene", "12-01-textures-scene3", {}),
     ("12-01-textures/scene4.crtscene", "12-01-textures-scene4", {}),
     ("13-01-optimizations/scene0.crtscene", "13-01-optimizations", {"compat_no_shadows": True}),
