@@ -897,7 +897,8 @@ def make_pallas_trace_fn(scene, tile_rays: int | None = None,
                          use_occlusion_kernel: bool = False,
                          cluster_size: int | None = None,
                          use_shadow_binning: bool = False,
-                         compact_masked: bool = False):
+                         compact_masked: bool = False,
+                         shadow_tile_rays: int | None = None):
     """trace_fn factory for the Pallas backend.
 
     ``use_occlusion_kernel`` exposes the any-hit early-exit kernel as
@@ -917,7 +918,12 @@ def make_pallas_trace_fn(scene, tile_rays: int | None = None,
     whose live lanes thin out with depth) through the live-tile compacted
     launch (see _closest_hit_binned_compact); the shadow path always uses
     it.  Opt-in pending a TPU measurement on branching/GI scenes — it
-    compiles 4 grid tiers per trace call site.
+    compiles 4 grid tiers per trace call site.  ``shadow_tile_rays``
+    (default: ``tile_rays``) sets a SEPARATE tile size for the apex-binned
+    shadow path only — shadow wavefronts are sparse (~85 % dead tiles on
+    the course benchmark after facing/active culling), so smaller tiles
+    tighten shaft frustums and let the compacted launch skip more, without
+    touching the dense primary trace's tuned 1024.
     """
     tile_rays = tile_rays or TILE_RAYS
     tables = build_cluster_tables(scene, cluster_size)
@@ -1070,37 +1076,38 @@ def make_pallas_trace_fn(scene, tile_rays: int | None = None,
         mode).  Same kernel, same lanes, occlusion-exact — only the per-tile
         cluster lists shrink (−35 % pairs measured on 14-01)."""
         Ll, R = r2.shape
+        st = shadow_tile_rays or tile_rays
         o_flat = jnp.broadcast_to(shadow_o[None], (Ll, R, 3)).reshape(-1, 3)
         d_flat = light_dirs.reshape(-1, 3)
         a_flat = jax.lax.stop_gradient(active).reshape(-1)
         r2_flat = jax.lax.stop_gradient(r2).reshape(-1)
-        if R % tile_rays:
+        if R % st:
             sh = trace(o_flat, d_flat, a_flat)
             sh_t = jax.lax.stop_gradient(sh.t)
             occ = (sh.tri >= 0) & (sh_t * sh_t <= r2_flat)
             return occ.reshape(Ll, R)
 
-        tiles = (Ll * R) // tile_rays
+        tiles = (Ll * R) // st
         apex = jnp.repeat(
-            jax.lax.stop_gradient(light_positions), R // tile_rays, axis=0
+            jax.lax.stop_gradient(light_positions), R // st, axis=0
         )  # [Ll * tiles_per_light, 3]
         cluster_list, counts = bin_rays(
             tables,
             jax.lax.stop_gradient(o_flat),
             jax.lax.stop_gradient(d_flat),
-            tile_rays,
+            st,
             a_flat,
             apex=apex,
             apex_slack=origin_slack,
         )
         o_t = jax.lax.stop_gradient(o_flat).reshape(
-            tiles, tile_rays, 3
+            tiles, st, 3
         ).swapaxes(1, 2)
         d_t = jax.lax.stop_gradient(d_flat).reshape(
-            tiles, tile_rays, 3
+            tiles, st, 3
         ).swapaxes(1, 2)
         best_t, best_tri = _closest_hit_binned_compact(
-            tables, o_t, d_t, cluster_list, counts, tile_rays, interpret
+            tables, o_t, d_t, cluster_list, counts, st, interpret
         )
         sh_t = best_t.reshape(-1)
         occ = (best_tri.reshape(-1) >= 0) & (sh_t * sh_t <= r2_flat)

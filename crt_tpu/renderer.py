@@ -89,7 +89,9 @@ def make_trace_fn(scene: Scene, settings: RenderSettings):
         from crt_tpu.ops.pallas_trace import make_pallas_trace_fn
 
         return make_pallas_trace_fn(
-            scene, compact_masked=settings.compact_bounces
+            scene,
+            compact_masked=settings.compact_bounces,
+            shadow_tile_rays=settings.shadow_tile_rays or None,
         )
     if backend == "pallas_stream":
         from crt_tpu.ops.pallas_stream import make_stream_trace_fn

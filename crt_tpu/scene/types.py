@@ -204,6 +204,7 @@ _SETTINGS_FIELDS = (
     "wavefront_banks",
     "remat_shading",
     "compact_bounces",
+    "shadow_tile_rays",
 )
 
 
@@ -278,6 +279,11 @@ class RenderSettings:
     # grid steps at the cost of 4 compiled grid tiers per call site.
     # Bit-identical output (tests/test_shadow_binning.py).
     compact_bounces: bool = False
+    # Tile size for the apex-binned shadow trace only (0 = the primary
+    # trace's tuned TILE_RAYS).  Shadow wavefronts are sparse, so smaller
+    # tiles tighten shaft frustums without touching the dense primary
+    # trace.  Occlusion output is exact at any size.
+    shadow_tile_rays: int = 0
 
     @property
     def no_shadows(self) -> bool:

@@ -164,6 +164,29 @@ def test_shadow_apex_matches_generic(setup):
     assert np.asarray(occ_ref)[a].any() and (~np.asarray(occ_ref)[a]).any()
 
 
+@pytest.mark.parametrize("st", [256, 512])
+def test_shadow_apex_smaller_tiles_match_generic(setup, st):
+    """shadow_tile_rays < TILE_RAYS must leave occlusion masks IDENTICAL —
+    only the binning granularity changes, never the hit set."""
+    scene, trace, shadow_o, valid = setup
+    trace_st = make_pallas_trace_fn(scene, interpret=True,
+                                    shadow_tile_rays=st)
+    Ll = scene.light_position.shape[0]
+    act = jnp.broadcast_to(valid[None], (Ll, valid.shape[0]))
+
+    occ_ref, light_dir, r2 = _generic_occlusion(
+        trace, shadow_o, scene.light_position, act
+    )
+    occ_st = trace_st.shadow_apex(
+        shadow_o, light_dir, r2, scene.light_position, act, 2e-2
+    )
+    a = np.asarray(act)
+    np.testing.assert_array_equal(
+        np.asarray(occ_st)[a], np.asarray(occ_ref)[a]
+    )
+    assert np.asarray(occ_ref)[a].any() and (~np.asarray(occ_ref)[a]).any()
+
+
 def test_apex_bins_cover_segment_oracle(setup):
     """Every cluster some ACTIVE ray's segment [origin, light] actually
     slab-intersects must survive the apex cull (conservativeness), and the
