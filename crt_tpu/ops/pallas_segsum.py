@@ -42,6 +42,33 @@ T_BLK = 1024  # segment columns per grid step ([R_TILE, T_BLK] f32 = 4 MB)
 MAX_SEGMENTS = 65536  # beyond this the g re-reads outweigh the scatter
 
 
+def _vma_of(x) -> frozenset:
+    """Varying-manual-axes of ``x`` under shard_map (empty outside)."""
+    try:
+        return frozenset(getattr(jax.typeof(x), "vma", None) or ())
+    except TypeError:  # non-array (e.g. Python int)
+        return frozenset()
+
+
+def _match_varying(x, target_vma: frozenset):
+    """Promote ``x`` to vary over every mesh axis in ``target_vma``.
+
+    Inside shard_map the packed scene tables arrive *replicated* (unvarying)
+    while the per-ray ids/cotangents vary over the rays mesh axes.  A custom
+    VJP must hand back a cotangent whose varying axes MATCH its primal
+    input's, so a per-device partial table gradient (varying — semantically
+    what the segment-sum produces) is rejected against a replicated table.
+    Casting the table to varying *before* the custom_vjp boundary makes the
+    types line up, and the transpose of the cast is the psum that all-reduces
+    the per-device partials — exactly the gradient semantics the sharded
+    training step wants (parallel/sharded.py inverse_render_step).
+    """
+    extra = tuple(sorted(target_vma - _vma_of(x)))
+    if extra:
+        x = jax.lax.pcast(x, extra, to="varying")
+    return x
+
+
 def _kernel(band_lo_ref, band_hi_ref, tri_ref, g_ref, out_ref, *, t_blk,
             r_tile):
     """out[K, T_BLK] += g[K, R_TILE] @ onehot(tri)[R_TILE, T_BLK].
@@ -89,6 +116,30 @@ def _kernel(band_lo_ref, band_hi_ref, tri_ref, g_ref, out_ref, *, t_blk,
         out_ref[...] += acc
 
 
+def _pallas_available() -> bool:
+    """Whether the Mosaic kernel can lower on this backend.  Kernel parity
+    tests monkeypatch this to True together with interpret=True."""
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def _segment_accumulate_xla(tri, g, num_segments: int) -> jnp.ndarray:
+    """Pure-XLA one-hot-matmul segment-sum, used off-TPU (e.g. when
+    CRT_SEGSUM=matmul is forced on the CPU test mesh): same math as the
+    Pallas kernel but f32 HIGHEST (exact) and shard_map/vma-transparent —
+    the Pallas HLO interpreter cannot eval kernels whose operands carry
+    varying manual axes.  Materializes the [R, T] one-hot: fine at test
+    scale, which is the only place this path runs."""
+    cols = jnp.arange(num_segments, dtype=jnp.int32)
+    onehot = (tri[:, None] == cols[None, :]).astype(jnp.float32)  # [R, T]
+    return jax.lax.dot_general(
+        g.astype(jnp.float32),
+        onehot,
+        (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
 def segment_accumulate_matmul(
     tri: jnp.ndarray,  # [R] i32 segment ids, -1 (or any out-of-range) = skip
     g: jnp.ndarray,  # [K, R] f32 cotangents
@@ -101,6 +152,10 @@ def segment_accumulate_matmul(
     the measured floor at 1024 (8160 steps = ~9 ms with 94% of steps
     band-skipped), so the default is large.
     """
+    if not _pallas_available():
+        return _segment_accumulate_xla(
+            tri.astype(jnp.int32), g, num_segments
+        )
     K, R = g.shape
     t_pad = max(-(-num_segments // T_BLK) * T_BLK, T_BLK)
     r_pad = (-R) % r_tile
@@ -116,6 +171,10 @@ def segment_accumulate_matmul(
     band_lo = jnp.where(live, tiles, jnp.int32(2**30)).min(axis=1)
     band_hi = jnp.where(live, tiles, -1).max(axis=1)
 
+    # Inside shard_map the output varies over whatever mesh axes the ray
+    # inputs vary over — the out_shape aval must say so (a bare
+    # ShapeDtypeStruct has vma=None, which the manual-axes checker rejects).
+    out_vma = _vma_of(tri) | _vma_of(g)
     out = pl.pallas_call(
         functools.partial(_kernel, t_blk=T_BLK, r_tile=r_tile),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -127,7 +186,9 @@ def segment_accumulate_matmul(
             ],
             out_specs=pl.BlockSpec((K, T_BLK), lambda j, i, lo, hi: (0, j)),
         ),
-        out_shape=jax.ShapeDtypeStruct((K, t_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (K, t_pad), jnp.float32, vma=out_vma
+        ),
     )(band_lo, band_hi, tri[None], g.astype(jnp.float32))
     return out[:, :num_segments]
 
@@ -160,11 +221,7 @@ def use_matmul_segsum(num_segments: int) -> bool:
 
 
 @jax.custom_vjp
-def packed_gather(packed: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
-    """``packed[:, tri]`` with a TPU-optimized VJP.
-
-    packed: [K, T]; tri: [R] i32 (callers pass clamped-to-valid ids).
-    """
+def _packed_gather(packed: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
     return packed[:, tri]
 
 
@@ -181,11 +238,22 @@ def _pg_bwd(res, g):
     return grad, None
 
 
-packed_gather.defvjp(_pg_fwd, _pg_bwd)
+_packed_gather.defvjp(_pg_fwd, _pg_bwd)
+
+
+def packed_gather(packed: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
+    """``packed[:, tri]`` with a TPU-optimized VJP.
+
+    packed: [K, T]; tri: [R] i32 (callers pass clamped-to-valid ids).
+    shard_map-safe: the table is cast to vary over the ray mesh axes so
+    the per-device partial gradient type-checks; the cast's transpose is
+    the cross-device psum (see _match_varying).
+    """
+    return _packed_gather(_match_varying(packed, _vma_of(tri)), tri)
 
 
 @jax.custom_vjp
-def packed_gather_ranked_fused(packed_aug, tri, rank):
+def _packed_gather_ranked_fused(packed_aug, tri, rank):
     """Like packed_gather_ranked, but the LAST row of ``packed_aug`` is
     ``rank.astype(f32)`` so the per-ray ranked ids ride the one efficient
     multi-row gather.  Motivation (measured, 14-01 scene, 2.07 M rays): a
@@ -228,11 +296,18 @@ def _pgf_bwd(res, g):
     return grad_aug, None, None
 
 
-packed_gather_ranked_fused.defvjp(_pgf_fwd, _pgf_bwd)
+_packed_gather_ranked_fused.defvjp(_pgf_fwd, _pgf_bwd)
+
+
+def packed_gather_ranked_fused(packed_aug, tri, rank):
+    """shard_map-safe wrapper (see packed_gather)."""
+    return _packed_gather_ranked_fused(
+        _match_varying(packed_aug, _vma_of(tri)), tri, rank
+    )
 
 
 @jax.custom_vjp
-def packed_rows_from_kernel(packed, data, ranked, rank):
+def _packed_rows_from_kernel(packed, data, ranked, rank):
     """AD adapter for trace-kernel-emitted packed rows.
 
     ``data`` [K, R] are the rows the Pallas trace kernel emitted
@@ -264,11 +339,21 @@ def _prk_bwd(res, g):
     return out_ranked[:, rank], None, None, None
 
 
-packed_rows_from_kernel.defvjp(_prk_fwd, _prk_bwd)
+_packed_rows_from_kernel.defvjp(_prk_fwd, _prk_bwd)
+
+
+def packed_rows_from_kernel(packed, data, ranked, rank):
+    """shard_map-safe wrapper (see packed_gather)."""
+    return _packed_rows_from_kernel(
+        _match_varying(packed, _vma_of(data) | _vma_of(ranked)),
+        data,
+        ranked,
+        rank,
+    )
 
 
 @jax.custom_vjp
-def packed_gather_ranked(packed, tri, rank):
+def _packed_gather_ranked(packed, tri, rank):
     """``packed[:, max(tri, 0)]`` whose VJP uses the banded segment-matmul.
 
     ``tri`` may carry -1 for miss lanes: the forward clamps them to id 0
@@ -295,4 +380,11 @@ def _pgr_bwd(res, g):
     return grad, None, None
 
 
-packed_gather_ranked.defvjp(_pgr_fwd, _pgr_bwd)
+_packed_gather_ranked.defvjp(_pgr_fwd, _pgr_bwd)
+
+
+def packed_gather_ranked(packed, tri, rank):
+    """shard_map-safe wrapper (see packed_gather)."""
+    return _packed_gather_ranked(
+        _match_varying(packed, _vma_of(tri)), tri, rank
+    )

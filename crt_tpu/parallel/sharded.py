@@ -115,22 +115,23 @@ def default_trainable_params(scene: Scene) -> dict:
     }
 
 
-def inverse_render_step(
+def sharded_value_and_grad(
     scene: Scene,
     target: jnp.ndarray,  # [H, W, 3]
     params: dict | None = None,
     settings: RenderSettings | None = None,
     mesh: Mesh | None = None,
-    lr: float = 1e-2,
 ):
-    """One sharded gradient step on scene parameters toward a target image.
+    """Sharded L2 loss + scene-parameter gradients over the mesh.
 
     Forward renders row-sharded, computes an L2 loss, and backpropagates
     through shading + intersection attributes.  Per-device partial gradients
-    of the replicated parameters are all-reduced with ``psum`` (XLA overlaps
-    the reduction with the remaining backward computation).
+    of the replicated parameters are all-reduced across the mesh (the
+    reduction is inserted by AD's transpose of the replicated->varying
+    casts, so XLA overlaps it with the remaining backward computation).
 
-    Returns (new_params, loss).
+    Returns (loss, grads) — both replicated; grads match the single-device
+    ``jax.grad`` of the same loss (tests/test_sharding.py parity).
     """
     settings = settings or RenderSettings()
     mesh = mesh or make_mesh()
@@ -162,10 +163,29 @@ def inverse_render_step(
 
         loss, grads = jax.value_and_grad(loss_fn)(p)
         loss = jax.lax.psum(loss, axis)
-        grads = jax.lax.psum(grads, axis)
+        # grads need NO explicit psum: ``p`` is replicated (unvarying) in
+        # the manual region, so AD's transpose of every replicated->varying
+        # cast already all-reduces the per-device partials (psum_invariant)
+        # and hands back unvarying (replicated) gradients.  An extra
+        # psum here would multiply them by mesh size (psum of an unvarying
+        # value is N*x) — caught by test_sharding grad-parity vs 1 device.
         return loss, grads
 
     row_starts = jnp.arange(0, h_pad, rows_per_dev, dtype=jnp.int32)
-    loss, grads = jax.jit(_step)(scene, params, target, row_starts)
+    return jax.jit(_step)(scene, params, target, row_starts)
+
+
+def inverse_render_step(
+    scene: Scene,
+    target: jnp.ndarray,  # [H, W, 3]
+    params: dict | None = None,
+    settings: RenderSettings | None = None,
+    mesh: Mesh | None = None,
+    lr: float = 1e-2,
+):
+    """One sharded SGD step on scene parameters toward a target image
+    (see sharded_value_and_grad).  Returns (new_params, loss)."""
+    params = params if params is not None else default_trainable_params(scene)
+    loss, grads = sharded_value_and_grad(scene, target, params, settings, mesh)
     new_params = jax.tree.map(lambda x, g: x - lr * g, params, grads)
     return new_params, loss

@@ -20,9 +20,15 @@ def make_test_scene(
     seed: int = 0,
     with_reflective: bool = True,
     with_refractive: bool = False,
+    with_edges: bool = False,
     gi_on: bool = False,
 ) -> Scene:
-    """A small random quad-soup scene with a floor, lights and materials."""
+    """A small random quad-soup scene with a floor, lights and materials.
+
+    ``with_edges`` gives the floor a barycentric edge-band texture
+    (crt_texture.cpp:14-22) so both texture color tables get sampled —
+    used by gradient tests that need nonzero grads on tex_color_b.
+    """
     rng = np.random.default_rng(seed)
 
     objects = [
@@ -33,8 +39,9 @@ def make_test_scene(
             "triangles": [0, 1, 2, 3, 2, 1],
         }
     ]
+    floor_albedo = "floor_edges" if with_edges else [0.7, 0.7, 0.7]
     mats = [
-        {"type": "diffuse", "albedo": [0.7, 0.7, 0.7], "smooth_shading": False},
+        {"type": "diffuse", "albedo": floor_albedo, "smooth_shading": False},
         {"type": "diffuse", "albedo": [0.9, 0.2, 0.2], "smooth_shading": True},
     ]
     if with_reflective:
@@ -80,6 +87,16 @@ def make_test_scene(
         "materials": mats,
         "objects": objects,
     }
+    if with_edges:
+        data["textures"] = [
+            {
+                "name": "floor_edges",
+                "type": "edges",
+                "edge_color": [0.2, 0.8, 0.3],
+                "inner_color": [0.7, 0.7, 0.7],
+                "edge_width": 0.3,
+            }
+        ]
     return scene_from_dict(data)
 
 

@@ -36,6 +36,7 @@ def test_kernel_matches_scatter(monkeypatch):
     monkeypatch.setattr(
         pl, "pallas_call", functools.partial(orig, interpret=True)
     )
+    monkeypatch.setattr(ps, "_pallas_available", lambda: True)
     out = np.asarray(
         ps.segment_accumulate_matmul(jnp.asarray(tri), jnp.asarray(g), T)
     )
@@ -99,6 +100,7 @@ def test_banded_segsum_matches_scatter(monkeypatch):
     monkeypatch.setattr(
         pl, "pallas_call", functools.partial(orig, interpret=True)
     )
+    monkeypatch.setattr(ps, "_pallas_available", lambda: True)
 
     rng = np.random.default_rng(11)
     R, K, T = 4096, 5, 700
@@ -151,6 +153,7 @@ def test_banded_vjp_drops_miss_lanes_exactly(monkeypatch):
     monkeypatch.setattr(
         pl, "pallas_call", functools.partial(orig, interpret=True)
     )
+    monkeypatch.setattr(ps, "_pallas_available", lambda: True)
     g_kernel = grads()
 
     np.testing.assert_allclose(g_kernel, g_scatter, rtol=2e-6, atol=1e-6)

@@ -1,15 +1,20 @@
 """Multi-device sharding tests on the virtual 8-device CPU mesh."""
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
+from jax.experimental import pallas as pl
 
 from crt_tpu import RenderSettings, render_image
 from crt_tpu.parallel.sharded import (
+    default_trainable_params,
     inverse_render_step,
     make_mesh,
     render_image_sharded,
+    sharded_value_and_grad,
 )
 from crt_tpu.scene.procedural import make_test_scene
 
@@ -37,6 +42,53 @@ def test_sharded_render_nondivisible_rows(mesh):
     sharded = np.asarray(render_image_sharded(scene, RenderSettings(), mesh))
     assert sharded.shape == single.shape
     np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("segsum", ["scatter", "matmul"])
+def test_full_param_grads_match_single_device(mesh, scene, monkeypatch, segsum):
+    """Regression gate for the round-2 multichip breakage: train the FULL
+    default_trainable_params pytree (vertices + texture tables + lights +
+    camera) on the 8-device mesh under BOTH segment-sum modes and demand
+    gradient parity with single-device jax.grad.  Catches (a) custom-VJP
+    rules whose cotangent varying-axes don't type-check under shard_map
+    and (b) any double/missing cross-device reduction (e.g. an extra psum
+    silently scaling grads by mesh size)."""
+    monkeypatch.setenv("CRT_SEGSUM", segsum)
+    if segsum == "matmul":
+        # the MXU Pallas kernel needs interpret mode on the CPU backend
+        monkeypatch.setattr(
+            pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)
+        )
+    del scene  # needs the edges texture so tex_color_b gets nonzero grads
+    scene = make_test_scene(width=40, height=32, num_quads=5, with_edges=True)
+    settings = RenderSettings()
+    h, w = scene.height, scene.width
+    target = render_image(scene, settings) + 0.05
+    params = default_trainable_params(scene)
+
+    loss_m, grads_m = sharded_value_and_grad(
+        scene, target, params, settings, mesh
+    )
+
+    def loss_fn(p):
+        img = render_image(scene.replace(**p), settings, jit=False)
+        err = img - target
+        return jnp.sum(err * err) / (h * w * 3)
+
+    loss_s, grads_s = jax.value_and_grad(loss_fn)(params)
+
+    np.testing.assert_allclose(float(loss_m), float(loss_s), rtol=1e-4)
+    for key in params:
+        np.testing.assert_allclose(
+            np.asarray(grads_m[key]),
+            np.asarray(grads_s[key]),
+            rtol=1e-4,
+            atol=1e-6,
+            err_msg=f"grad mismatch for {key} under CRT_SEGSUM={segsum}",
+        )
+        assert np.abs(np.asarray(grads_s[key])).max() > 0, (
+            f"degenerate test: zero reference grad for {key}"
+        )
 
 
 def test_inverse_render_step_reduces_loss(mesh, scene):
