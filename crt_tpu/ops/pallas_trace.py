@@ -926,6 +926,17 @@ def make_pallas_trace_fn(scene, tile_rays: int | None = None,
     touching the dense primary trace's tuned 1024.
     """
     tile_rays = tile_rays or TILE_RAYS
+    if shadow_tile_rays:
+        # Lanes are 128-wide on TPU; a non-multiple fails Pallas compilation
+        # with an opaque layout error, and a size that does not divide the
+        # per-light ray count silently falls back to the generic dense
+        # trace (losing apex binning + live-tile compaction) — validate
+        # here, warn there (see shadow_apex).
+        if shadow_tile_rays % 128:
+            raise ValueError(
+                f"shadow_tile_rays={shadow_tile_rays} must be a multiple of"
+                " the 128-lane TPU tile width"
+            )
     tables = build_cluster_tables(scene, cluster_size)
     tables = jax.tree.map(jax.lax.stop_gradient, tables)
     rows_table_cache = []
@@ -1082,6 +1093,19 @@ def make_pallas_trace_fn(scene, tile_rays: int | None = None,
         a_flat = jax.lax.stop_gradient(active).reshape(-1)
         r2_flat = jax.lax.stop_gradient(r2).reshape(-1)
         if R % st:
+            # Fallback: a tile size that does not divide the per-light ray
+            # count cannot be apex-binned — the fully generic dense trace
+            # over all Ll*R lanes loses binning AND live-tile compaction
+            # (a large perf cliff); make the misconfiguration visible.
+            if shadow_tile_rays:
+                import warnings
+
+                warnings.warn(
+                    f"shadow_tile_rays={st} does not divide the per-light"
+                    f" ray count {R}; falling back to the dense unbinned"
+                    " shadow trace (slow)",
+                    stacklevel=2,
+                )
             sh = trace(o_flat, d_flat, a_flat)
             sh_t = jax.lax.stop_gradient(sh.t)
             occ = (sh.tri >= 0) & (sh_t * sh_t <= r2_flat)

@@ -58,6 +58,13 @@ from crt_tpu.scene.types import (
 
 _PI = math.pi
 
+# 07-01-scene era light direction (unit), reconstructed from the committed
+# golden renders — see the legacy branch in _shade_level and
+# tools/era07_fit.py for the derivation + exactness proof.
+ERA07_LIGHT_DIR = jnp.array(
+    [0.3809265, 0.7244545, 0.5750355], jnp.float32
+)
+
 
 class HitAttributes(NamedTuple):
     """Differentiable per-ray hit attributes recomputed from triangle ids.
@@ -605,10 +612,19 @@ def _shade_level(scene, settings, trace_fn, origins, dirs, depth, rng, active,
                            kernel_rows=kernel_rows)
 
     if not scene.has_materials:
-        # Legacy material-less scenes (07-*): the era's golden renders show a
-        # flat (200,200,200)/255 hit color (results/png/07-01-scene-*.png);
-        # the HEAD loader rejects these scenes outright (crt_json.cpp:590-592).
-        legacy = jnp.full(R + (3,), 200.0 / 255.0, jnp.float32)
+        # Legacy material-less scenes (07-*): the era shaded a gray
+        # half-lambert on the geometric face normal with a fixed light
+        # direction hardcoded in the (lost) 07-01 tag source:
+        #     gray = 0.5 + 0.5 * dot(face_normal, ERA07_LIGHT_DIR)
+        # Reconstructed from the committed renders: 162 flat single-triangle
+        # regions across results/png/07-01-scene-scene{1,3,4}.png pin the
+        # direction to +-6e-4 per component (LP over the PPM writer's
+        # truncation intervals, tools/era07_fit.py) and reproduce every
+        # region's 8-bit gray EXACTLY; scene0/scene2's apparent "flat 200
+        # gray" is the same rule at n=(0,0,1) -> floor(255*0.78752) = 200.
+        # The HEAD loader rejects these scenes outright (crt_json.cpp:590-592).
+        gray = 0.5 + 0.5 * vecmath.dot(attrs.normal, ERA07_LIGHT_DIR)
+        legacy = jnp.repeat(gray[..., None], 3, axis=-1)
         return jnp.where(attrs.valid[..., None], legacy, scene.background_color), rng
 
     albedo = sample_textures(

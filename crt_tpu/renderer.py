@@ -69,6 +69,17 @@ def make_trace_fn(scene: Scene, settings: RenderSettings):
             # pipelined table slices, crt_tpu.ops.pallas_stream).
             backend = "pallas_stream"
 
+    if settings.shadow_tile_rays and backend != "pallas":
+        # Only the Pallas cluster backend has a shadow-specific tile grid;
+        # make the no-op visible instead of silently ignoring the setting.
+        import warnings
+
+        warnings.warn(
+            f"shadow_tile_rays={settings.shadow_tile_rays} is honored by"
+            f" the 'pallas' backend only; backend {backend!r} ignores it",
+            stacklevel=2,
+        )
+
     if backend == "bruteforce":
         tri = intersect_ops.build_triangle_data(
             jax.lax.stop_gradient(scene.vertices),
@@ -240,6 +251,11 @@ def render_image_hwc(
     salt 0 is bit-exact the plain render (see crt_tpu.progressive).
     """
     settings = settings or RenderSettings()
+    if settings.aov:
+        # First-class AOV setting: golden profiles (utils/golden.py) apply
+        # verbatim through the public API — e.g. the 09-01 course golden is
+        # the bary visualization pass, not beauty.
+        return render_aov(scene, settings, aov=settings.aov, jit=jit)
     fn = _render_jit if jit else _render_flat
     return fn(scene, settings, gi_salt)
 
@@ -305,15 +321,16 @@ def _render_aov_jit(scene, settings, aov):
 def render_aov(
     scene: Scene,
     settings: RenderSettings | None = None,
-    aov: str = "bary",
+    aov: str = "",
     jit: bool = True,
 ) -> jnp.ndarray:
     """Render an auxiliary output (AOV / debug pass) from primary hits.
 
     Available: "bary" (the 09-01 course visualization), "normal", "depth",
-    "tri_id", "albedo".
+    "tri_id", "albedo".  ``aov`` defaults to ``settings.aov`` (then "bary").
     """
     settings = settings or RenderSettings()
+    aov = aov or settings.aov or "bary"
     if jit:
         return _render_aov_jit(scene, settings, aov)
     return _render_aov_flat(scene, settings, aov)

@@ -205,6 +205,7 @@ _SETTINGS_FIELDS = (
     "remat_shading",
     "compact_bounces",
     "shadow_tile_rays",
+    "aov",
 )
 
 
@@ -282,8 +283,15 @@ class RenderSettings:
     # Tile size for the apex-binned shadow trace only (0 = the primary
     # trace's tuned TILE_RAYS).  Shadow wavefronts are sparse, so smaller
     # tiles tighten shaft frustums without touching the dense primary
-    # trace.  Occlusion output is exact at any size.
+    # trace.  Occlusion output is exact at any size.  Honored by the
+    # 'pallas' backend only; other backends have no shadow-specific tile
+    # grid and ignore it (renderer.make_trace_fn warns when set).
     shadow_tile_rays: int = 0
+    # Auxiliary output pass instead of the beauty render: "" (beauty),
+    # "bary" (the 09-01 course visualization, crt_intersection.cpp:73-74),
+    # "normal", "depth", "tri_id", "albedo".  First-class so golden
+    # profiles (utils/golden.py) apply verbatim through render_image.
+    aov: str = ""
 
     @property
     def no_shadows(self) -> bool:

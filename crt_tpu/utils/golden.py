@@ -67,12 +67,22 @@ SMOKE_CASES = [
 ]
 
 # Legacy scenes that HEAD's loader rejects but we load in lenient mode.
+# 07-01 era: gray half-lambert on the face normal with a fixed light
+# direction reconstructed exactly from the committed renders
+# (ops/shade.ERA07_LIGHT_DIR, derivation in tools/era07_fit.py).
 # 08-01 era: per-object palette albedos reconstructed from the committed
 # renders (json_loader.ERA08_PALETTE); the era had working shadows and the
 # inverse-square falloff.
+# 09-01 scene0 has materials but no lights, so HEAD rejects it too
+# (crt_json.cpp:608-610); its golden is the bary AOV like scene1.
 LEGACY_GOLDEN_CASES = [
     ("07-01-scene/scene0.crtscene", "07-01-scene-scene0", {}),
+    ("07-01-scene/scene1.crtscene", "07-01-scene-scene1", {}),
     ("07-01-scene/scene2.crtscene", "07-01-scene-scene2", {}),
+    ("07-01-scene/scene3.crtscene", "07-01-scene-scene3", {}),
+    ("07-01-scene/scene4.crtscene", "07-01-scene-scene4", {}),
+    ("09-01-barycentric-coordinates/scene0.crtscene",
+     "09-01-barycentric-coordinates-scene0", {"aov": "bary"}),
     ("08-01-light/scene0.crtscene", "08-01-light-scene0", {}),
     ("08-01-light/scene1.crtscene", "08-01-light-scene1", {}),
     ("08-01-light/scene2.crtscene", "08-01-light-scene2", {}),

@@ -29,3 +29,22 @@ def test_normal_depth_aovs():
     assert hit.any()
     # depth positive on hits
     assert (dep[hit][:, 0] > 0).all()
+
+
+def test_aov_first_class_setting():
+    """settings.aov routes render_image to the AOV pass — golden profile
+    dicts (utils/golden.py) apply verbatim through the public API."""
+    from crt_tpu import render_image
+
+    scene = make_test_scene(width=32, height=24, num_quads=4)
+    via_setting = np.asarray(
+        render_image(scene, RenderSettings(aov="bary"))
+    )
+    via_arg = np.asarray(render_aov(scene, RenderSettings(), aov="bary"))
+    np.testing.assert_array_equal(via_setting, via_arg)
+    # and the 09-01-scene0 profile dict constructs as-is
+    from crt_tpu.utils import golden
+
+    profile = dict(golden.LEGACY_GOLDEN_CASES[5][2])
+    assert profile == {"aov": "bary"}
+    RenderSettings(**profile)  # must not raise

@@ -26,7 +26,12 @@ _ALL_CASES = {
 # the documented irreducible stb-vs-PIL JPEG decode residual.
 CPU_CASES = [
     ("07-01-scene-scene0", 0.999),
+    ("07-01-scene-scene1", 0.999),  # era half-lambert (ERA07_LIGHT_DIR)
     ("07-01-scene-scene2", 0.999),
+    ("07-01-scene-scene3", 0.999),
+    # scene4 (4,012 tris at 1080p) is TPU-sweep only: ~2 min brute force on
+    # the CPU test backend.  TPU sweep: 1.0000.
+    ("09-01-barycentric-coordinates-scene0", 0.999),
     ("08-01-light-scene0", 0.995),
     ("12-01-textures-scene0", 0.995),
     ("12-01-textures-scene1", 0.995),

@@ -40,17 +40,10 @@ def main(argv):
         path = golden.SCENES / rel
         t0 = time.time()
         try:
-            overrides = dict(overrides)
-            aov = overrides.pop("aov", None)
             scene = load_scene(str(path))
-            if aov:
-                from crt_tpu.renderer import render_aov
-
-                img = np.asarray(
-                    render_aov(scene, RenderSettings(**overrides), aov=aov)
-                )
-            else:
-                img = np.asarray(render_image(scene, RenderSettings(**overrides)))
+            # aov is a first-class RenderSettings field: profiles apply
+            # verbatim (render_image routes AOV passes itself).
+            img = np.asarray(render_image(scene, RenderSettings(**overrides)))
             frac, mae = golden.match_stats(img, golden.load_golden(name))
             dt = time.time() - t0
             print(f"{name}: frac={frac:.4f} mae={mae:.5f} t={dt:.1f}s", flush=True)

@@ -36,21 +36,12 @@ def main(argv):
 
     rows = []
     for rel, name, overrides in cases:
-        overrides = dict(overrides)
-        aov = overrides.pop("aov", None)
         t0 = time.time()
         try:
             scene = load_scene(str(golden.SCENES / rel))
-            if aov:
-                from crt_tpu.renderer import render_aov
-
-                img = np.asarray(
-                    render_aov(scene, RenderSettings(**overrides), aov=aov)
-                )
-            else:
-                img = np.asarray(
-                    render_image(scene, RenderSettings(**overrides))
-                )
+            # aov is a first-class RenderSettings field — profiles apply
+            # verbatim through render_image.
+            img = np.asarray(render_image(scene, RenderSettings(**overrides)))
             dt = time.time() - t0
             write_ppm(img, os.path.join(outdir, "ppm", f"{name}.ppm"))
             from PIL import Image
