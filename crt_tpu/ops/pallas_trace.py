@@ -62,6 +62,15 @@ CLUSTER_SIZE = 16
 # Clusters tested per trace-kernel loop iteration (see _trace_kernel):
 # amortizes per-iteration loop bookkeeping over several 16 x TR bursts.
 CLUSTER_UNROLL = int(os.environ.get("CRT_CLUSTER_UNROLL", "4"))
+# Bounding-cone refinement of the apex shadow-shaft binning (see
+# _apex_cone_mask).  Occlusion-exact; flag kept for A/B.
+_SHADOW_CONE = os.environ.get("CRT_SHADOW_CONE", "1") != "0"
+# Sub-frustum union factor for apex binning (1 = one shaft per tile).
+# Occlusion-exact; MEASURED DEAD on 14-01 (pairs 23966 -> 23201/22430 at
+# sub=4/8, frame time flat-to-worse): per-tile hit-point boxes are already
+# tight because 32x32 pixel blocks land on contiguous surface — kept as an
+# opt-in knob for scenes with heavy per-tile depth spread.
+_SHADOW_SUBF = int(os.environ.get("CRT_SHADOW_SUBFRUSTA", "1"))
 
 
 class ClusterTables(NamedTuple):
@@ -233,6 +242,45 @@ def _frustum_box_mask(o_lo, o_hi, d_lo, d_hi, bmin, bmax, t_cap=None):
     return ok
 
 
+def _apex_cone_mask(apex, w_lo, w_hi, cl_min, cl_max, slack):
+    """Bounding-cone refinement of the apex shaft test -> [tiles, L] bool.
+
+    The per-axis slab hull of a shaft overestimates DIAGONAL shafts by the
+    whole axis-interval product; the shaft's bounding cone (apex P, axis
+    through the direction-box center, half-angle covering the box's
+    bounding ball) is rotation-tight.  Conservative both ways — shaft
+    subset of cone(ball(W)) and cluster box subset of its ball, standard
+    sphere-vs-cone signed-distance test — so intersecting with the slab
+    mask can only drop clusters NO active segment [origin, light] can
+    reach: occlusion outputs stay bit-identical
+    (tests/test_shadow_binning.py).
+    """
+    tiny = jnp.float32(1e-12)
+    c_w = 0.5 * (w_lo + w_hi)  # [tiles, 3] direction-box center
+    r_w = 0.5 * jnp.sqrt(
+        jnp.sum((w_hi - w_lo) ** 2, axis=-1) + tiny
+    )  # [tiles]
+    len_w = jnp.sqrt(jnp.sum(c_w**2, axis=-1) + tiny)
+    sin_a = jnp.clip(r_w / len_w, 0.0, 1.0)
+    cos_a = jnp.sqrt(jnp.maximum(1.0 - sin_a * sin_a, 0.0))
+    axis = c_w / len_w[..., None]
+
+    bc = 0.5 * (cl_min + cl_max)[None, :, :] - apex[:, None, :]  # [t, L, 3]
+    r_b = (
+        0.5 * jnp.sqrt(jnp.sum((cl_max - cl_min) ** 2, axis=-1))[None, :]
+        + 2.0 * slack
+    )
+    vproj = jnp.sum(bc * axis[:, None, :], axis=-1)  # [tiles, L]
+    d_ax = jnp.sqrt(
+        jnp.maximum(jnp.sum(bc * bc, axis=-1) - vproj * vproj, 0.0)
+    )
+    e = cos_a[:, None] * d_ax - sin_a[:, None] * vproj
+    ok = e <= r_b
+    # degenerate shaft (apex inside the inflated origin box): sin_a
+    # saturates and the axis is meaningless — pass everything
+    return ok | (len_w <= r_w * 1.0001)[:, None]
+
+
 def bin_rays(tables: ClusterTables, origins, dirs, tile_rays: int | None = None,
              active=None, apex=None, apex_slack: float = 0.0):
     """Phase A.  origins/dirs: [R, 3] with R % tile_rays == 0.
@@ -262,9 +310,19 @@ def bin_rays(tables: ClusterTables, origins, dirs, tile_rays: int | None = None,
     """
     tile_rays = tile_rays or TILE_RAYS
     tiles = origins.shape[0] // tile_rays
-    o = origins.reshape(tiles, tile_rays, 3)
-    d = dirs.reshape(tiles, tile_rays, 3)
     need_d = apex is None
+
+    # Sub-frustum union (apex mode): bound each 1024-lane tile's reachable
+    # set by the UNION of SUB tighter shafts over its consecutive lane
+    # groups instead of one loose shaft — depth-spread tiles (floor +
+    # silhouette pixels) shrink their cluster lists while the KERNEL tiles
+    # stay 1024 lanes wide (unlike the measured-dead subtile-burst idea,
+    # which narrowed the VPU bursts).  Same reduction work, SUB x the
+    # (cheap) slab/cone mask tests; occlusion-exact.
+    sub = _SHADOW_SUBF if (apex is not None and _SHADOW_SUBF > 1
+                           and tile_rays % _SHADOW_SUBF == 0) else 1
+    o = origins.reshape(tiles * sub, tile_rays // sub, 3)
+    d = dirs.reshape(tiles * sub, tile_rays // sub, 3)
 
     if active is None:
         o_lo, o_hi = o.min(axis=1), o.max(axis=1)
@@ -273,7 +331,7 @@ def bin_rays(tables: ClusterTables, origins, dirs, tile_rays: int | None = None,
         tile_any = None
     else:
         INF = jnp.float32(3.4e38)
-        a = active.reshape(tiles, tile_rays, 1)
+        a = active.reshape(tiles * sub, tile_rays // sub, 1)
         o_lo = jnp.where(a, o, INF).min(axis=1)
         o_hi = jnp.where(a, o, -INF).max(axis=1)
         if need_d:
@@ -283,19 +341,26 @@ def bin_rays(tables: ClusterTables, origins, dirs, tile_rays: int | None = None,
 
     if apex is not None:
         s = jnp.float32(apex_slack)
-        w_lo = (o_lo - s) - apex
-        w_hi = (o_hi + s) - apex
+        apex_sub = jnp.repeat(apex, sub, axis=0) if sub > 1 else apex
+        w_lo = (o_lo - s) - apex_sub
+        w_hi = (o_hi + s) - apex_sub
         mask = _frustum_box_mask(
-            apex, apex, w_lo, w_hi,
+            apex_sub, apex_sub, w_lo, w_hi,
             tables.cl_min - 2.0 * s, tables.cl_max + 2.0 * s,
             t_cap=jnp.float32(1.0 + 1e-4),
-        )  # [tiles, L]
+        )  # [tiles * sub, L]
+        if _SHADOW_CONE:
+            mask = mask & _apex_cone_mask(
+                apex_sub, w_lo, w_hi, tables.cl_min, tables.cl_max, s
+            )
     else:
         mask = _frustum_box_mask(
             o_lo, o_hi, d_lo, d_hi, tables.cl_min, tables.cl_max
         )  # [tiles, L]
     if tile_any is not None:
         mask = mask & tile_any[:, None]
+    if sub > 1:
+        mask = mask.reshape(tiles, sub, -1).any(axis=1)
 
     order = jnp.argsort(~mask, axis=1, stable=True).astype(jnp.int32)
     counts = jnp.sum(mask, axis=1).astype(jnp.int32)

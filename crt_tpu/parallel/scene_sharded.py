@@ -262,3 +262,118 @@ def render_image_scene_sharded(
     row_starts = jnp.arange(0, h_pad, rows_per, dtype=jnp.int32)
     img = jax.jit(_shard)(slim, tables, packed, row_starts)
     return img[:h]
+
+
+def scene_sharded_value_and_grad(
+    scene: Scene,
+    target: jnp.ndarray,  # [H, W, 3]
+    params: dict | None = None,
+    settings: RenderSettings | None = None,
+    mesh: Mesh | None = None,
+    rays_axis: str = "rays",
+    scene_axis: str = "scene",
+    local_backend: str = "auto",
+):
+    """L2 loss + scene-parameter gradients on the 2-D (rays x scene) mesh.
+
+    The partitioned-scene *training step*: rows sharded over ``rays_axis``,
+    per-triangle state over ``scene_axis`` (pmin hit-combine + psum row
+    exchange, exactly the forward path of render_image_scene_sharded), with
+    gradients flowing back THROUGH the psum row exchange into the scene
+    parameters.  Differentiable-parameter plumbing:
+
+      - trainable params (sharded.default_trainable_params by default) are
+        replicated — like any data-parallel trainer replicates its weights;
+      - the packed shading-constant table is rebuilt from the params inside
+        the step and dynamic-sliced to the local shard, so AD's transpose
+        of the slice + psum exchange routes each hit row's cotangent to the
+        owning shard and on into vertices/albedo/lights/camera (the
+        transient full [K, T] build is per-step scratch; the PERSISTENT
+        partitioned state — cluster tables, packed shards — stays 1/N);
+      - intersection runs on prebuilt stop-gradient cluster-table shards
+        (hit ids are discrete per the gradient contract, BASELINE.json).
+
+    Returns (loss, grads), both replicated; parity with the single-device
+    ``jax.grad`` of the same loss is gated by tests/test_scene_sharded.py.
+    """
+    from crt_tpu.parallel.sharded import default_trainable_params
+
+    settings = settings or RenderSettings()
+    if mesh is None:
+        devs = np.array(jax.devices())
+        mesh = Mesh(devs.reshape(2, -1), (rays_axis, scene_axis))
+    n_ray = mesh.shape[rays_axis]
+    n_scene = mesh.shape[scene_axis]
+    params = params if params is not None else default_trainable_params(scene)
+
+    tables, _packed0, shard_tris = build_partitioned_tables(
+        scene, mesh, scene_axis
+    )
+
+    h, w = scene.height, scene.width
+    rows_per = -(-h // n_ray)
+    h_pad = rows_per * n_ray
+    if h_pad != h:
+        pad = jnp.zeros((h_pad - h, w, 3), target.dtype)
+        target = jnp.concatenate([target, pad], axis=0)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(scene_axis), P(rays_axis), P(rays_axis)),
+        out_specs=(P(), P()),
+    )
+    def _step(scene_rep, p, tables_local, target_rows, row_starts):
+        from crt_tpu.ops.shade_iter import shade_wavefront_iter
+        from crt_tpu.renderer import make_tiler, use_iterative_wavefront
+
+        def loss_fn(p):
+            s = scene_rep.replace(**p)
+            packed_full = _pad_axis(build_packed(s), n_scene, 1, 0.0)
+            k = jax.lax.axis_index(scene_axis)
+            packed_local = jax.lax.dynamic_slice_in_dim(
+                packed_full, k * shard_tris, shard_tris, axis=1
+            )
+            rx, ry, untile = make_tiler(rows_per, w,
+                                        row_offset=row_starts[0])
+            origins, dirs = camera_ops.generate_rays(
+                s.cam_position, s.cam_rotation, s.cam_tan_half_fov,
+                w, h, rx, ry,
+            )
+            trace_fn = make_partitioned_trace_fn(
+                tables_local, scene_axis, local_backend
+            )
+            rows_fn = make_partitioned_rows_fn(
+                packed_local, shard_tris, scene_axis
+            )
+            if use_iterative_wavefront(s, settings):
+                color = shade_wavefront_iter(
+                    s, settings, trace_fn,
+                    origins.reshape(-1, 3), dirs.reshape(-1, 3),
+                    rx.astype(jnp.uint32), ry.astype(jnp.uint32),
+                    rows_fn=rows_fn, vary_axes=(rays_axis,),
+                )
+            else:
+                color = shade_wavefront(
+                    s, settings, trace_fn,
+                    origins.reshape(-1, 3), dirs.reshape(-1, 3),
+                    rx.astype(jnp.uint32), ry.astype(jnp.uint32),
+                    rows_fn=rows_fn,
+                )
+            img = untile(color)
+            valid = (row_starts[0] + jnp.arange(rows_per)) < h
+            err = jnp.where(valid[:, None, None], img - target_rows, 0.0)
+            return jnp.sum(err * err) / (h * w * 3)
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        # loss varies over rays only (the psum row exchange already left
+        # color scene-invariant); grads come back replicated via AD's
+        # transpose of the replicated->varying casts (see sharded.py).
+        loss = jax.lax.psum(loss, rays_axis)
+        return loss, grads
+
+    # the step rebuilds packed/rays from params; strip only the prebuilt
+    # accel (tri_vidx and vertex tables are needed by build_packed)
+    slim = scene.replace(accel=None)
+    row_starts = jnp.arange(0, h_pad, rows_per, dtype=jnp.int32)
+    return jax.jit(_step)(slim, params, tables, target, row_starts)

@@ -94,3 +94,98 @@ def test_refractive_partitioned_matches_single_device(mesh2d):
                                    mesh2d)
     )
     np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-5)
+
+
+def test_scene_sharded_grads_match_single_device(mesh2d):
+    """The partitioned-scene TRAINING step: gradients flow back through the
+    pmin hit-combine + psum row exchange and match single-device jax.grad
+    of the same L2 loss.  Tolerance: rtol 5e-4 / atol 1e-6 — the psum row
+    assembly and sharded loss reduction reorder f32 sums vs the
+    single-device gather path."""
+    import jax
+    import jax.numpy as jnp
+
+    from crt_tpu.parallel.scene_sharded import scene_sharded_value_and_grad
+    from crt_tpu.parallel.sharded import default_trainable_params
+
+    scene = make_test_scene(width=32, height=16, num_quads=5,
+                            with_reflective=True)
+    settings = RenderSettings()
+    target = jnp.asarray(
+        render_image(scene, RenderSettings(backend="bruteforce"))
+    ) + 0.03
+
+    params = default_trainable_params(scene)
+    loss_sh, grads_sh = scene_sharded_value_and_grad(
+        scene, target, params=params, settings=settings, mesh=mesh2d
+    )
+
+    h, w = scene.height, scene.width
+
+    def loss_single(p):
+        s = scene.replace(**p)
+        img = render_image(s, RenderSettings(backend="bruteforce"),
+                           jit=False)
+        err = img - target
+        return jnp.sum(err * err) / (h * w * 3)
+
+    loss_1, grads_1 = jax.value_and_grad(loss_single)(params)
+
+    np.testing.assert_allclose(float(loss_sh), float(loss_1),
+                               rtol=1e-5, atol=1e-8)
+    for k in params:
+        g_sh, g_1 = np.asarray(grads_sh[k]), np.asarray(grads_1[k])
+        assert np.isfinite(g_sh).all(), k
+        np.testing.assert_allclose(g_sh, g_1, rtol=5e-4, atol=1e-6,
+                                   err_msg=k)
+    # gradients actually exist (the step isn't silently zero)
+    assert max(float(np.abs(np.asarray(grads_sh[k])).max())
+               for k in params) > 0
+
+
+def test_scene_sharded_grads_refractive_iter(mesh2d):
+    """Same grad parity through the ITERATIVE bank wavefront on a
+    refractive scene — the pool-carry vary_axes path plus the transmissive
+    shadow marching's rows_fn reads, differentiated.  rtol 1e-3: the bank
+    pool sums root-to-leaf path contributions in a different f32 order
+    than the unrolled recursion."""
+    import jax
+    import jax.numpy as jnp
+
+    from crt_tpu.parallel.scene_sharded import scene_sharded_value_and_grad
+
+    scene = make_test_scene(width=32, height=16, num_quads=5,
+                            with_refractive=True)
+    settings = RenderSettings(max_ray_depth=2)
+    target = jnp.asarray(
+        render_image(scene, RenderSettings(backend="bruteforce",
+                                           max_ray_depth=2))
+    ) + 0.03
+
+    params = {"vertices": scene.vertices,
+              "light_intensity": scene.light_intensity}
+    loss_sh, grads_sh = scene_sharded_value_and_grad(
+        scene, target, params=params, settings=settings, mesh=mesh2d
+    )
+
+    h, w = scene.height, scene.width
+
+    def loss_single(p):
+        s = scene.replace(**p)
+        img = render_image(
+            s,
+            RenderSettings(backend="bruteforce", max_ray_depth=2,
+                           wavefront="iter"),
+            jit=False,
+        )
+        err = img - target
+        return jnp.sum(err * err) / (h * w * 3)
+
+    loss_1, grads_1 = jax.value_and_grad(loss_single)(params)
+    np.testing.assert_allclose(float(loss_sh), float(loss_1),
+                               rtol=1e-4, atol=1e-8)
+    for k in params:
+        np.testing.assert_allclose(
+            np.asarray(grads_sh[k]), np.asarray(grads_1[k]),
+            rtol=1e-3, atol=1e-6, err_msg=k,
+        )

@@ -29,7 +29,7 @@ BASELINE_MRAYS = 31.0
 
 # task-prefix -> pretty row name for the README golden table
 _TASK_LABELS = [
-    ("07-01", "07-01 legacy (flat hit color)"),
+    ("07-01", "07-01 legacy (reconstructed era half-lambert)"),
     ("08-01", "08-01 legacy (reconstructed era palette)"),
     ("09-01", "09-01 barycentric (AOV pass)"),
     ("09-02", "09-02 diffuse + smooth + shadows"),
