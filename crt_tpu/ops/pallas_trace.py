@@ -65,6 +65,9 @@ CLUSTER_UNROLL = int(os.environ.get("CRT_CLUSTER_UNROLL", "4"))
 # Bounding-cone refinement of the apex shadow-shaft binning (see
 # _apex_cone_mask).  Occlusion-exact; flag kept for A/B.
 _SHADOW_CONE = os.environ.get("CRT_SHADOW_CONE", "1") != "0"
+# Occlusion-specialized shadow kernel (see _occl_kernel_compact).
+# Boolean-identical to closest-hit-then-compare; flag kept for A/B.
+_SHADOW_OCCL_KERNEL = os.environ.get("CRT_SHADOW_OCCL_KERNEL", "1") != "0"
 # Sub-frustum union factor for apex binning (1 = one shaft per tile).
 # Occlusion-exact; MEASURED DEAD on 14-01 (pairs 23966 -> 23201/22430 at
 # sub=4/8, frame time flat-to-worse): per-tile hit-point boxes are already
@@ -494,6 +497,153 @@ def _trace_kernel_compact(
             else (best_t_ref, best_tri_ref),
             emit_k,
         )
+
+
+def _occl_kernel_compact(
+    nlive_ref,  # [1] SMEM
+    tile_ids_ref,  # [grid] SMEM live-first permutation
+    counts_ref,  # [tiles] SMEM
+    cluster_list_ref,  # [1, 1, L] SMEM (block tile_ids[p])
+    o_ref,  # [1, 3, TR] VMEM
+    d_ref,
+    r2_ref,  # [1, 1, TR] VMEM squared max distance
+    n_ref, nv0_ref, m_ref, c_ref, nobf_ref,
+    occ_ref,  # [1, 1, TR] i32 out
+):
+    """Occlusion-specialized compact trace: OR-accumulates ``any hit with
+    t^2 <= r2`` per lane instead of tracking (best_t, best_tri) — exactly
+    the boolean the shadow path derives from the closest hit (any valid t
+    with t^2 <= r2 exists iff min_t^2 <= r2), with no tie-break id
+    reduction, no tid table DMA, and a single [1, TR] carry plane."""
+    p = pl.program_id(0)
+
+    @pl.when(p < nlive_ref[0])
+    def _live():
+        count = counts_ref[tile_ids_ref[p]]
+        ox, oy, oz = o_ref[0, 0:1, :], o_ref[0, 1:2, :], o_ref[0, 2:3, :]
+        dx, dy, dz = d_ref[0, 0:1, :], d_ref[0, 1:2, :], d_ref[0, 2:3, :]
+        r2 = r2_ref[0, 0:1, :]
+
+        def one_cluster(cl, blocked):
+            n = n_ref[cl]
+            nd = n[:, 0:1] * dx + n[:, 1:2] * dy + n[:, 2:3] * dz
+            no = n[:, 0:1] * ox + n[:, 1:2] * oy + n[:, 2:3] * oz
+            opd = nv0_ref[cl][:, None] - no
+            not_parallel = jnp.abs(nd) >= PARALLEL_EPS
+            face_ok = (opd < 0.0) | (nobf_ref[cl][:, None] > 0.5)
+            t = opd / jnp.where(not_parallel, nd, 1.0)
+            valid = not_parallel & face_ok & (t >= 0.0) & (t * t <= r2)
+            m = m_ref[cl]
+            c = c_ref[cl]
+            for e in range(3):
+                md = (
+                    m[:, 3 * e + 0 : 3 * e + 1] * dx
+                    + m[:, 3 * e + 1 : 3 * e + 2] * dy
+                    + m[:, 3 * e + 2 : 3 * e + 3] * dz
+                )
+                mo = (
+                    m[:, 3 * e + 0 : 3 * e + 1] * ox
+                    + m[:, 3 * e + 1 : 3 * e + 2] * oy
+                    + m[:, 3 * e + 2 : 3 * e + 3] * oz
+                )
+                valid = valid & ((mo - c[:, e : e + 1]) + t * md >= 0.0)
+            # i32 carry: Mosaic cannot legalize a bool-vector scf.for carry
+            return blocked | jnp.any(
+                valid, axis=0, keepdims=True
+            ).astype(jnp.int32)
+
+        def body(i, blocked):
+            base = i * CLUSTER_UNROLL
+            for k in range(CLUSTER_UNROLL):
+                idx = jnp.minimum(base + k, count - 1)
+                blocked = one_cluster(cluster_list_ref[0, 0, idx], blocked)
+            return blocked
+
+        TR = o_ref.shape[2]
+        steps = (count + CLUSTER_UNROLL - 1) // CLUSTER_UNROLL
+        blocked = jax.lax.fori_loop(
+            0, steps, body, jnp.zeros((1, TR), jnp.int32)
+        )
+        occ_ref[0, 0, :] = blocked[0]
+
+
+def _occluded_binned_compact(
+    tables: ClusterTables,
+    o_t: jnp.ndarray,  # [tiles, 3, TR]
+    d_t: jnp.ndarray,
+    r2_t: jnp.ndarray,  # [tiles, 1, TR]
+    cluster_list: jnp.ndarray,  # [tiles, 1, L]
+    counts: jnp.ndarray,  # [tiles]
+    tile_rays: int,
+    interpret: bool,
+) -> jnp.ndarray:
+    """Live-tile-compacted occlusion launch -> blocked [tiles, 1, TR] bool.
+
+    Same tiering as _closest_hit_binned_compact; unvisited tiles are
+    unoccluded by construction (count == 0 -> no cluster can block)."""
+    tiles = o_t.shape[0]
+    L = tables.n.shape[0]
+
+    live = counts > 0
+    n_live = jnp.sum(live, dtype=jnp.int32)
+    order = jnp.argsort(~live, stable=True).astype(jnp.int32)
+    step = jnp.arange(tiles, dtype=jnp.int32)
+    tile_ids = order[jnp.minimum(step, jnp.maximum(n_live - 1, 0))]
+    nlive_arr = n_live.reshape(1)
+
+    def launch(cap):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(cap,),
+            in_specs=[
+                pl.BlockSpec((1, 1, L), lambda i, nl, ts, c: (ts[i], 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 3, tile_rays),
+                             lambda i, nl, ts, c: (ts[i], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3, tile_rays),
+                             lambda i, nl, ts, c: (ts[i], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, tile_rays),
+                             lambda i, nl, ts, c: (ts[i], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # n
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # nv0
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # m
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # c
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # nobf
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, tile_rays),
+                             lambda i, nl, ts, c: (ts[i], 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+        )
+        (occ,) = pl.pallas_call(
+            _occl_kernel_compact,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((tiles, 1, tile_rays), jnp.int32)
+            ],
+            interpret=interpret,
+        )(
+            nlive_arr, tile_ids[:cap], counts, cluster_list, o_t, d_t,
+            r2_t, tables.n, tables.nv0, tables.m, tables.c, tables.nobf,
+        )
+        return occ
+
+    caps = sorted({max(1, tiles >> s) for s in (3, 2, 1, 0)})
+    if len(caps) == 1:
+        occ = launch(caps[0])
+    else:
+        tier = jnp.searchsorted(
+            jnp.asarray(caps, jnp.int32), n_live, side="left"
+        )
+        tier = jnp.minimum(tier, len(caps) - 1)
+        occ = jax.lax.switch(
+            tier, [functools.partial(launch, c) for c in caps]
+        )
+    return (occ > 0) & live[:, None, None]
 
 
 def _trace_tile_body(count, cluster_list_ref, o_ref, d_ref, n_ref, nv0_ref,
@@ -1195,6 +1345,16 @@ def make_pallas_trace_fn(scene, tile_rays: int | None = None,
         d_t = jax.lax.stop_gradient(d_flat).reshape(
             tiles, st, 3
         ).swapaxes(1, 2)
+        if _SHADOW_OCCL_KERNEL:
+            # Occlusion-specialized kernel: OR-accumulate any (t^2 <= r2)
+            # hit — same boolean as closest-hit-then-compare (any valid t
+            # with t^2 <= r2 exists iff min_t^2 <= r2), minus the
+            # tie-break reduction, tid DMA and one output buffer.
+            r2_t = r2_flat.reshape(tiles, 1, st)
+            occ = _occluded_binned_compact(
+                tables, o_t, d_t, r2_t, cluster_list, counts, st, interpret
+            )
+            return occ.reshape(Ll, R)
         best_t, best_tri = _closest_hit_binned_compact(
             tables, o_t, d_t, cluster_list, counts, st, interpret
         )

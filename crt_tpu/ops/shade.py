@@ -60,10 +60,10 @@ _PI = math.pi
 
 # 07-01-scene era light direction (unit), reconstructed from the committed
 # golden renders — see the legacy branch in _shade_level and
-# tools/era07_fit.py for the derivation + exactness proof.
-ERA07_LIGHT_DIR = jnp.array(
-    [0.3809265, 0.7244545, 0.5750355], jnp.float32
-)
+# tools/era07_fit.py for the derivation + exactness proof.  A plain tuple:
+# a module-level jnp.array would initialize the XLA backend at import and
+# break jax.distributed.initialize in multihost workers.
+ERA07_LIGHT_DIR = (0.3809265, 0.7244545, 0.5750355)
 
 
 class HitAttributes(NamedTuple):
@@ -623,7 +623,9 @@ def _shade_level(scene, settings, trace_fn, origins, dirs, depth, rng, active,
         # region's 8-bit gray EXACTLY; scene0/scene2's apparent "flat 200
         # gray" is the same rule at n=(0,0,1) -> floor(255*0.78752) = 200.
         # The HEAD loader rejects these scenes outright (crt_json.cpp:590-592).
-        gray = 0.5 + 0.5 * vecmath.dot(attrs.normal, ERA07_LIGHT_DIR)
+        gray = 0.5 + 0.5 * vecmath.dot(
+            attrs.normal, jnp.asarray(ERA07_LIGHT_DIR, jnp.float32)
+        )
         legacy = jnp.repeat(gray[..., None], 3, axis=-1)
         return jnp.where(attrs.valid[..., None], legacy, scene.background_color), rng
 

@@ -344,3 +344,26 @@ def test_compact_masked_grads_bit_identical():
     g_comp = jax.grad(lambda v: loss(v, tf_comp))(scene.vertices)
     assert bool(jnp.array_equal(g_plain, g_comp))
     assert float(jnp.abs(g_plain).max()) > 0
+
+
+def test_occl_kernel_flag_parity(setup, monkeypatch):
+    """The occlusion-specialized kernel (OR-accumulate any t^2 <= r2) must
+    produce IDENTICAL masks to closest-hit-then-compare on active lanes."""
+    import crt_tpu.ops.pallas_trace as pt
+
+    scene, trace, shadow_o, valid = setup
+    Ll = scene.light_position.shape[0]
+    act = jnp.broadcast_to(valid[None], (Ll, valid.shape[0]))
+    _, light_dir, r2 = _generic_occlusion(
+        trace, shadow_o, scene.light_position, act
+    )
+
+    outs = {}
+    for flag in (True, False):
+        monkeypatch.setattr(pt, "_SHADOW_OCCL_KERNEL", flag)
+        outs[flag] = np.asarray(trace.shadow_apex(
+            shadow_o, light_dir, r2, scene.light_position, act, 2e-2
+        ))
+    a = np.asarray(act)
+    np.testing.assert_array_equal(outs[True][a], outs[False][a])
+    assert outs[True][a].any() and (~outs[True][a]).any()
