@@ -42,6 +42,7 @@ No committed golden exercises GI, so this changes no parity result.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import NamedTuple, Optional
 
@@ -63,13 +64,37 @@ _PI = math.pi
 
 
 def default_banks(scene, settings) -> int:
+    """Pool bank count.
+
+    GI scenes get the EXACT Whitted-tree width f^D (f = per-parent fanout,
+    max of K diffuse children and the refractive pair): a parent at level b
+    occupies bank index < f^(b+1) under the lowest-free-slot packer (see
+    the bank-growth bound in shade_wavefront_iter_with_stats), so f^D
+    banks evaluate the full recursion with ZERO drops — round-3 measured
+    the old heuristic (2^min(D,3) + 2(K+1) = 18 on the 15-01 showcase)
+    dropping 10.6 M children and losing 1-4 % radiance vs converged.
+    Bank-growth scheduling makes exactness affordable: total traced lanes
+    are sum_b f^b (the true tree size), vs B*(D+1) for the scan.
+
+    Non-GI refractive scenes keep the 2^min(D,3) cap: beyond depth 3 the
+    Fresnel tree is weight-starved (round-2: 146 dropped paths = 0.0008 %
+    of pixels off at depth 5 on 11-01-scene8) and exactness there would
+    4x the pool for sub-noise gains — raise wavefront_banks to override.
+    """
     if settings.wavefront_banks:
         return int(settings.wavefront_banks)
-    banks = 2 ** min(settings.max_ray_depth, 3)
+    D = settings.max_ray_depth
+    if scene.gi_on:
+        f = 1
+        if scene.has_refractive and scene.refractions_on:
+            f = 2
+        K = settings.diffuse_reflection_ray_count
+        if K > 1:
+            f = max(f, K)
+        return max(2, f**D)
+    banks = 2 ** min(D, 3)
     if not (scene.has_refractive and scene.refractions_on):
         banks = min(banks, 2)
-    if scene.gi_on:
-        banks += 2 * (settings.diffuse_reflection_ray_count + 1)
     return max(banks, 2)
 
 
@@ -94,10 +119,12 @@ def _place_children(pool_fields, dead, cand_act, cand_fields, dropped):
 
     Returns (new_fields, new_dead, new_act_bits [B, R], dropped).
     """
-    B = dead.shape[0]
-    # rank of each free slot / each child within its column
-    dead_rank = jnp.cumsum(dead, axis=0) - 1  # [B, R]
-    spawn_rank = jnp.cumsum(cand_act, axis=0) - 1
+    # rank of each free slot / each child within its column.  Source and
+    # destination bank counts may differ (bank-growth scheduling grows the
+    # pool between shading and placement).
+    B = cand_act.shape[0]  # source banks
+    dead_rank = jnp.cumsum(dead, axis=0) - 1  # [Bj, R]
+    spawn_rank = jnp.cumsum(cand_act, axis=0) - 1  # [Bi, R]
     # match[i, j, p]: child from bank i lands in free bank j of column p
     match = (
         cand_act[:, None, :]
@@ -169,33 +196,20 @@ def shade_wavefront_iter_with_stats(
         )
         seed = rng_mod.make_pcg(raster_x, raster_y)
         seed = rng_mod.salt_stream(seed, gi_salt)
-        rng0 = rng_mod.PCGState(
-            *(jnp.broadcast_to(p[None], (B, R)) for p in seed)
-        )
     else:
-        rng0 = None
+        seed = None
 
-    pool = _Pool(
-        o=jnp.broadcast_to(origins[None], (B, R, 3)),
-        d=jnp.broadcast_to(dirs[None], (B, R, 3)),
-        w=jnp.ones((B, R, 3), jnp.float32),
-        act=jnp.zeros((B, R), bool).at[0].set(active),
-        acc=jnp.zeros((B, R, 3), jnp.float32),
-        rng=rng0,
-        dropped=jnp.zeros((), jnp.int32),
-    )
-    if vary_axes:
-        # Inside shard_map the scan's carry types carry varying-manual-axes:
-        # constant-built fields (w/act/acc/dropped) would be "unvarying"
-        # while the bounce output is varying over the caller's mesh axes —
-        # align the initial carry explicitly (fields already varying, like
-        # o/d built from the sharded rays, are left alone).
-        def _vary(x):
-            vma = getattr(getattr(x, "aval", None), "vma", frozenset())
-            missing = tuple(a for a in vary_axes if a not in vma)
-            return jax.lax.pcast(x, missing, to="varying") if missing else x
-
-        pool = jax.tree.map(_vary, pool)
+    def _vary(x):
+        # Inside shard_map the pool carry types carry varying-manual-axes:
+        # constant-built fields (w/act/acc/dropped, growth pads) would be
+        # "unvarying" while the bounce output is varying over the caller's
+        # mesh axes — align explicitly (fields already varying, like o/d
+        # built from the sharded rays, are left alone).
+        if not vary_axes:
+            return x
+        vma = getattr(getattr(x, "aval", None), "vma", frozenset())
+        missing = tuple(a for a in vary_axes if a not in vma)
+        return jax.lax.pcast(x, missing, to="varying") if missing else x
 
     want_refract = scene.has_refractive and scene.refractions_on
     want_reflect = scene.has_reflective and scene.reflections_on
@@ -206,17 +220,32 @@ def shade_wavefront_iter_with_stats(
         else 1.0
     )
 
-    def flat(x):
-        return x.reshape((B * R,) + x.shape[2:])
+    # Bank-growth scheduling: per parent lane one bounce produces at most
+    #   (continuations + spawned children) <= f
+    # slots in its column (diffuse+GI: K children, parent dies; refractive:
+    # Fresnel pair = continuation + 1; reflective: continuation), and the
+    # packer fills the lowest free banks first, so after bounce b every
+    # occupied bank index is < min(B, f^(b+1)).  Growing the pool 1 -> f ->
+    # f^2 -> B instead of carrying all B banks skips the dead banks' trace
+    # lanes and bookkeeping entirely — drop behavior is IDENTICAL (a child
+    # only overflows when it would overflow the full-B pool too).
+    grow_f = 1
+    if want_refract:
+        grow_f = 2
+    if scene.gi_on and K > 1:
+        grow_f = max(grow_f, K)
 
-    def unflat(x):
-        return x.reshape((B, R) + x.shape[1:])
+    def shade_local(o, d, act):
+        """Trace + LOCAL (terminal) radiance of a flat wavefront.
 
-    def bounce(pool, bounce_idx):
-        C = (B * R,)
-        o, d, act = flat(pool.o), flat(pool.d), flat(pool.act)
-        w = flat(pool.w)
-
+        Returns (contrib [C,3], attrs, albedo, masks) — exactly what a ray
+        at max depth contributes: background on miss, constant albedo,
+        reflective albedo when reflections are off, direct diffuse
+        lighting; reflective/refractive otherwise contribute black
+        (their children would shade at depth+1 -> black,
+        crt_renderer.cpp:47-48).
+        """
+        C = (o.shape[0],)
         hit = trace_fn(o, d, act)
         attrs = hit_attributes(scene, o, d, hit, rows_fn=rows_fn)
         valid = attrs.valid & act
@@ -230,12 +259,9 @@ def shade_wavefront_iter_with_stats(
         is_refractive = valid & (attrs.mat_type == MATERIAL_REFRACTIVE)
         is_constant = valid & (attrs.mat_type == MATERIAL_CONSTANT)
 
-        normal = attrs.normal
-        point = attrs.point
-
-        # ---- local (terminal) radiance --------------------------------
         contrib = jnp.where(
-            miss[..., None], jnp.broadcast_to(scene.background_color, C + (3,)),
+            miss[..., None],
+            jnp.broadcast_to(scene.background_color, C + (3,)),
             0.0,
         )
         if scene.has_constant:
@@ -246,14 +272,17 @@ def shade_wavefront_iter_with_stats(
 
         if scene.num_lights > 0:
             illuminated, light_dir, r2 = _occlusion_masks(
-                scene, trace_fn, point, normal, scene.light_position,
+                scene, trace_fn, attrs.point, attrs.normal,
+                scene.light_position,
                 settings.shadow_bias, settings.no_shadows,
                 shadow_active=is_diffuse,
                 max_ray_depth=settings.max_ray_depth,
                 refraction_bias=settings.refraction_bias,
                 rows_fn=rows_fn,
             )
-            cos_law = jnp.maximum(0.0, vecmath.dot(light_dir, normal[None]))
+            cos_law = jnp.maximum(
+                0.0, vecmath.dot(light_dir, attrs.normal[None])
+            )
             sphere_area = 4.0 * _PI * r2
             # albedo factored out of the light sum (see shade.py): the
             # per-light accumulation runs on [Ll, R] scalars, not [Ll, R, 3].
@@ -269,8 +298,46 @@ def shade_wavefront_iter_with_stats(
             contrib = jnp.where(
                 is_diffuse[..., None], direct * gi_scale, contrib
             )
+        masks = (is_diffuse, is_reflective, is_refractive)
+        return contrib, attrs, albedo, masks
+
+    def bounce(pool, grow_to=None, last=False, leaf_children=False):
+        """One wavefront bounce.
+
+        ``grow_to``: pad the pool to this many banks between shading and
+        child placement (bank-growth scheduling).  ``last``: terminal
+        bounce — children would shade at depth > max_ray_depth and return
+        black (crt_renderer.cpp:47-48), so all continuation/spawn work is
+        skipped and only local radiance accumulates.  ``leaf_children``:
+        this bounce's children are LEAVES (depth == max_ray_depth) —
+        evaluate their radiance inline (trace + shade_local, weighted into
+        acc) instead of growing the pool and placing them: the pool never
+        materializes the f^D-wide final tree level, only f^(D-1) banks.
+        """
+        Bc = pool.o.shape[0]
+        C = (Bc * R,)
+
+        def flat(x):
+            return x.reshape((Bc * R,) + x.shape[2:])
+
+        def unflat(x):
+            return x.reshape((Bc, R) + x.shape[1:])
+
+        o, d, act = flat(pool.o), flat(pool.d), flat(pool.act)
+        w = flat(pool.w)
+
+        contrib, attrs, albedo, (is_diffuse, is_reflective, is_refractive) \
+            = shade_local(o, d, act)
+        normal = attrs.normal
+        point = attrs.point
 
         acc = pool.acc + unflat(w * contrib)
+
+        if last:
+            # terminal bounce: every child/continuation would shade at
+            # depth > max_ray_depth -> black; skip ALL spawn bookkeeping,
+            # continuation geometry and RNG draws (radiance-identical).
+            return pool._replace(act=jnp.zeros_like(pool.act), acc=acc)
 
         # ---- refractive geometry (feeds both children) ----------------
         if want_refract:
@@ -357,12 +424,60 @@ def shade_wavefront_iter_with_stats(
                 )
             rng = rng_mod.PCGState(*(unflat(p) for p in r_flat))
 
+        if leaf_children:
+            # Children are depth-D leaves: fold their radiance in directly
+            # (one masked trace + local shade each), never materializing
+            # the f^D-wide final tree level in the pool.  Bank starvation
+            # cannot drop them — they are not placed.
+            leaf = jnp.zeros(C + (3,), jnp.float32)
+            if want_refract:
+                c, *_ = shade_local(
+                    refl_r_origin, refl_r_dir, is_refractive & refr_ok
+                )
+                leaf = leaf + (w * fresnel) * c
+            for gi_dir, _child_rng in gi_children:
+                c, *_ = shade_local(gi_origin, gi_dir, is_diffuse)
+                leaf = leaf + (w * jnp.float32(gi_scale)) * c
+            return _Pool(
+                o=unflat(new_o), d=unflat(new_d), w=unflat(new_w),
+                act=unflat(cont), acc=acc + unflat(leaf),
+                rng=rng, dropped=pool.dropped,
+            )
+
         pool_fields = [unflat(new_o), unflat(new_d), unflat(new_w)]
         if have_rng:
             pool_fields += list(rng)
         dead = ~unflat(cont)
         act2 = unflat(cont)
         dropped = pool.dropped
+        acc_out = acc
+
+        if grow_to is not None and grow_to > Bc:
+            # bank-growth: append fresh dead banks for this bounce's
+            # children.  Pad VALUES are never consumed (dead lanes are
+            # masked everywhere); d gets a unit vector so normalize-style
+            # math stays finite.
+            pad = grow_to - Bc
+
+            def padb(x, fill):
+                p = jnp.full((pad,) + x.shape[1:], fill, x.dtype)
+                return jnp.concatenate([x, _vary(p)], axis=0)
+
+            pool_fields[0] = padb(pool_fields[0], 0.0)
+            d_pad = jnp.broadcast_to(
+                jnp.asarray([0.0, 0.0, -1.0], jnp.float32),
+                (pad, R, 3),
+            )
+            pool_fields[1] = jnp.concatenate(
+                [pool_fields[1], _vary(d_pad)], axis=0
+            )
+            pool_fields[2] = padb(pool_fields[2], 0.0)
+            if have_rng:
+                for j in range(3, 3 + 4):
+                    pool_fields[j] = padb(pool_fields[j], 0)
+            dead = padb(dead, True)
+            act2 = padb(act2, False)
+            acc_out = padb(acc, 0.0)
 
         # ---- spawned children -----------------------------------------
         def spawn(cand_act, co, cd, cw, crng, pool_fields, dead, act2,
@@ -398,13 +513,56 @@ def shade_wavefront_iter_with_stats(
         new_rng = (
             rng_mod.PCGState(*pool_fields[3:7]) if have_rng else None
         )
-        new_pool = _Pool(
+        return _Pool(
             o=pool_fields[0], d=pool_fields[1], w=pool_fields[2],
-            act=act2, acc=acc, rng=new_rng, dropped=dropped,
+            act=act2, acc=acc_out, rng=new_rng, dropped=dropped,
         )
-        return new_pool, None
 
-    bounce = jax.checkpoint(bounce)  # O(1)-residual backward per bounce
-    pool, _ = jax.lax.scan(bounce, pool, jnp.arange(D + 1))
+    sched = getattr(settings, "wavefront_sched", "auto")
+    use_grow = sched == "grow" or (sched == "auto" and scene.gi_on)
+
+    def init_pool(nbanks):
+        rng_b = (
+            rng_mod.PCGState(
+                *(jnp.broadcast_to(p[None], (nbanks, R)) for p in seed)
+            )
+            if scene.gi_on else None
+        )
+        p = _Pool(
+            o=jnp.broadcast_to(origins[None], (nbanks, R, 3)),
+            d=jnp.broadcast_to(dirs[None], (nbanks, R, 3)),
+            w=jnp.ones((nbanks, R, 3), jnp.float32),
+            act=jnp.zeros((nbanks, R), bool).at[0].set(active),
+            acc=jnp.zeros((nbanks, R, 3), jnp.float32),
+            rng=rng_b,
+            dropped=jnp.zeros((), jnp.int32),
+        )
+        return jax.tree.map(_vary, p) if vary_axes else p
+
+    if use_grow:
+        # Unrolled bounce loop with a growing pool: D+1 distinct compiled
+        # bodies (vs the scan's one) buy skipping every dead bank's trace
+        # lanes and bookkeeping — measured ~linear-in-banks cost on GI
+        # scenes (docs/PERFORMANCE.md round 3).
+        pool = init_pool(1)
+        L = 1
+        for b in range(D + 1):
+            is_last = b == D
+            leaf = b == D - 1  # children of this bounce are depth-D leaves
+            g = L if (is_last or leaf) else min(B, L * grow_f)
+            step = jax.checkpoint(
+                functools.partial(
+                    bounce, grow_to=g, last=is_last, leaf_children=leaf
+                )
+            )
+            pool = step(pool)
+            L = max(L, g)
+        return pool.acc.sum(axis=0), pool.dropped
+
+    pool = init_pool(B)
+    scan_bounce = jax.checkpoint(
+        lambda p, _idx: (bounce(p), None)
+    )  # O(1)-residual backward per bounce
+    pool, _ = jax.lax.scan(scan_bounce, pool, jnp.arange(D + 1))
 
     return pool.acc.sum(axis=0), pool.dropped

@@ -202,6 +202,7 @@ _SETTINGS_FIELDS = (
     "chunk_pixels",
     "wavefront",
     "wavefront_banks",
+    "wavefront_sched",
     "remat_shading",
     "compact_bounces",
     "shadow_tile_rays",
@@ -271,6 +272,14 @@ class RenderSettings:
     # Bank count (wavefront capacity = banks * rays) for the iterative path;
     # 0 = auto (2^min(max_ray_depth,3), +2*(K+1) with GI on).
     wavefront_banks: int = 0
+    # Bounce scheduling for the iterative path:
+    #   "auto": bank-growth loop (pool grows 1 -> f -> f^2 -> banks across
+    #           bounces, terminal bounce skips spawn work) on GI scenes —
+    #           GI cost is ~linear in pool banks; the lax.scan otherwise
+    #           (one compiled bounce body, best compile time)
+    #   "grow"/"scan": force either.  Radiance-identical (same placement,
+    #   same drops; see shade_iter bank-growth bound).
+    wavefront_sched: str = "auto"
     # Policy-remat the unrolled shading: the backward keeps only trace
     # outputs + packed hit rows as residuals and recomputes the elementwise
     # shading chain (identity for forward-only renders; numerics unchanged).

@@ -172,3 +172,93 @@ def test_chunked_render_matches_unchunked():
         )
     )
     np.testing.assert_allclose(chunked, full, atol=1e-6)
+
+
+def test_grow_schedule_matches_scan_gi():
+    """Bank-growth scheduling matches the scan up to f32 reorder/FMA
+    contraction (leaf children fold into acc in a different summation
+    order; separately compiled bounce bodies fuse differently)."""
+    import numpy as np
+
+    from crt_tpu import RenderSettings, render_image
+    from crt_tpu.scene.procedural import make_test_scene
+
+    for refr in (False, True):
+        scene = make_test_scene(width=32, height=16, num_quads=5,
+                                with_refractive=refr).replace(gi_on=True)
+        out = {}
+        for sched in ("scan", "grow"):
+            out[sched] = np.asarray(render_image(
+                scene,
+                RenderSettings(backend="bruteforce", wavefront="iter",
+                               wavefront_sched=sched, max_ray_depth=2),
+                jit=False,
+            ))
+        np.testing.assert_allclose(out["grow"], out["scan"],
+                                   rtol=0, atol=1e-6)
+
+
+def test_grow_schedule_drop_counts_match_scan():
+    """At a starved bank budget the grow schedule drops NO MORE than the
+    scan (inline leaf evaluation makes the final tree level immune to bank
+    starvation; interior levels follow the same packing bound)."""
+    import jax.numpy as jnp
+
+    from crt_tpu import RenderSettings
+    from crt_tpu.ops.shade_iter import shade_wavefront_iter_with_stats
+    from crt_tpu.renderer import make_tiler, make_trace_fn
+    from crt_tpu.ops import camera as camera_ops
+    from crt_tpu.scene.procedural import make_test_scene
+
+    scene = make_test_scene(width=32, height=16, num_quads=5,
+                            with_refractive=True).replace(gi_on=True)
+    rx, ry, _ = make_tiler(scene.height, scene.width)
+    o, d = camera_ops.generate_rays(
+        scene.cam_position, scene.cam_rotation, scene.cam_tan_half_fov,
+        scene.width, scene.height, rx, ry,
+    )
+    drops = {}
+    for sched in ("scan", "grow"):
+        settings = RenderSettings(backend="bruteforce", max_ray_depth=3,
+                                  wavefront_sched=sched)
+        trace_fn = make_trace_fn(scene, settings)
+        _, dropped = shade_wavefront_iter_with_stats(
+            scene, settings, trace_fn, o, d,
+            rx.astype(jnp.uint32), ry.astype(jnp.uint32), banks=5,
+        )
+        drops[sched] = int(dropped)
+    assert drops["grow"] <= drops["scan"], drops
+    assert drops["scan"] > 0  # starved budget actually drops
+
+
+def test_gi_default_banks_evaluate_full_tree():
+    """The GI bank default is the EXACT Whitted-tree width f^D: zero
+    dropped children at defaults (round-3 found the old heuristic dropping
+    10.6 M children on the 15-01 showcase = 1-4 % radiance), while a
+    starved budget on the same scene does drop."""
+    import jax.numpy as jnp
+
+    from crt_tpu.ops import camera as camera_ops
+    from crt_tpu.ops.shade_iter import default_banks
+
+    scene = make_test_scene(width=32, height=16, num_quads=5,
+                            with_refractive=True).replace(gi_on=True)
+    settings = RenderSettings(max_ray_depth=3)
+    assert default_banks(scene, settings) == 4**3  # f = max(K=4, refr 2)
+
+    rx, ry, _ = make_tiler(scene.height, scene.width)
+    o, d = camera_ops.generate_rays(
+        scene.cam_position, scene.cam_rotation, scene.cam_tan_half_fov,
+        scene.width, scene.height, rx, ry,
+    )
+    trace_fn = make_trace_fn(scene, settings)
+    _, dropped = shade_wavefront_iter_with_stats(
+        scene, settings, trace_fn, o, d,
+        rx.astype(jnp.uint32), ry.astype(jnp.uint32),
+    )
+    assert int(dropped) == 0
+    _, dropped_starved = shade_wavefront_iter_with_stats(
+        scene, settings, trace_fn, o, d,
+        rx.astype(jnp.uint32), ry.astype(jnp.uint32), banks=2,
+    )
+    assert int(dropped_starved) > 0
