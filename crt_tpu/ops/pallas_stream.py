@@ -22,13 +22,14 @@ tree walk.  This module removes that cliff with a two-level scheme:
   pair's DMA with the previous pair's math.  Consecutive pairs of the same
   tile keep the output block resident and accumulate min-hits; the running
   (best_t, best_tri) is initialized on each tile's first pair (detected by
-  a pair_tile[p-1] != pair_tile[p] scalar check).  Padding pairs repeat
-  the previous indices: no new DMA, no work (masked off via pair_valid).
+  a pair_tile[p-1] != pair_tile[p] scalar check).  Each pair walks exactly
+  its LIVE member clusters through a 5-bit-packed live-first permutation
+  (count + clamp, no per-member cond); dead/padding pairs carry count 0.
 
-The pair list is bounded by the static ``pairs_cap``; bin_pairs also
-returns the true pair count so callers can detect overflow (overflowing
-pairs would silently lose geometry — make_stream_trace_fn asserts via
-debug callback in tests and sizes the cap generously).
+The pair list defaults to EXACT capacity (tiles x superclusters, cannot
+overflow) and the kernel multi-launches over <=16k-pair blocks inside a
+lax.while_loop — see closest_hit_stream_flat.  Round 2's fixed 32k cap
+silently dropped pairs past it (disclosed in docs/PERFORMANCE.md).
 
 VMEM per step: one [SC_CLUSTERS*16] table slice (~34 KB) + ray planes +
 outputs — independent of scene size; HBM traffic = pair count x slice
@@ -48,6 +49,7 @@ from crt_tpu.ops.intersect import PARALLEL_EPS, Hit
 from crt_tpu.ops.pallas_trace import (
     TILE_RAYS,
     ClusterTables,
+    _apex_cone_mask,
     _frustum_box_mask,
     build_cluster_tables,
 )
@@ -89,9 +91,123 @@ def build_supercluster_boxes(tables: ClusterTables,
     return tables, sc_min, sc_max
 
 
+def _tile_bounds(origins, dirs, tile_rays, active):
+    """Per-tile (active-masked) origin/direction interval bounds."""
+    tiles = origins.shape[0] // tile_rays
+    o = origins.reshape(tiles, tile_rays, 3)
+    d = dirs.reshape(tiles, tile_rays, 3)
+    if active is None:
+        return o.min(axis=1), o.max(axis=1), d.min(axis=1), d.max(axis=1), None
+    INF = jnp.float32(3.4e38)
+    a = active.reshape(tiles, tile_rays, 1)
+    o_lo = jnp.where(a, o, INF).min(axis=1)
+    o_hi = jnp.where(a, o, -INF).max(axis=1)
+    d_lo = jnp.where(a, d, INF).min(axis=1)
+    d_hi = jnp.where(a, d, -INF).max(axis=1)
+    return o_lo, o_hi, d_lo, d_hi, jnp.any(a[..., 0], axis=1)
+
+
+def _member_bits(bounds, pair_tile, pair_sc, cl_min, cl_max, sc):
+    """Member-cluster survival bitmask for a SLICE of pairs -> [P] uint32.
+
+    Computed per launch block (not for the whole pair list): the [P, SC, 3]
+    intermediates would be GBs at exact-capacity pair lists."""
+    member = _member_mask(bounds, pair_tile, pair_sc, cl_min, cl_max, sc)
+    weights = (jnp.uint32(1) << jnp.arange(sc, dtype=jnp.uint32))[None]
+    return jnp.sum(
+        jnp.where(member, weights, jnp.uint32(0)), axis=1, dtype=jnp.uint32
+    )
+
+
+def _member_mask(bounds, pair_tile, pair_sc, cl_min, cl_max, sc,
+                 apex=None, apex_slack=0.0):
+    """[P, SC] bool: which member clusters of each pair overlap its tile.
+
+    ``apex`` ([tiles, 3]): point-light shadow mode — members are tested
+    against the light-side shaft (+ bounding cone), exactly the
+    pallas_trace apex semantics (occlusion-exact)."""
+    o_lo, o_hi, d_lo, d_hi, _ = bounds
+    L2b = cl_min.shape[0] // sc
+    mb_min = cl_min.reshape(L2b, sc, 3)[pair_sc]  # [P, SC, 3]
+    mb_max = cl_max.reshape(L2b, sc, 3)[pair_sc]
+    if apex is None:
+        return _frustum_box_mask(
+            o_lo[pair_tile], o_hi[pair_tile],
+            d_lo[pair_tile], d_hi[pair_tile],
+            mb_min, mb_max,
+        )
+    sl = jnp.float32(apex_slack)
+    a = apex[pair_tile]  # [P, 3]
+    w_lo = (o_lo[pair_tile] - sl) - a
+    w_hi = (o_hi[pair_tile] + sl) - a
+    m = _frustum_box_mask(
+        a, a, w_lo, w_hi, mb_min - 2.0 * sl, mb_max + 2.0 * sl,
+        t_cap=jnp.float32(1.0 + 1e-4),
+    )
+    return m & _cone_mask_batched(a, w_lo, w_hi, mb_min, mb_max, sl)
+
+
+def _cone_mask_batched(apex_p, w_lo, w_hi, b_min, b_max, slack):
+    """Sphere-vs-cone shaft refinement with PER-ROW boxes [P, SC, 3]
+    (the shared-box case lives in pallas_trace._apex_cone_mask)."""
+    tiny = jnp.float32(1e-12)
+    c_w = 0.5 * (w_lo + w_hi)  # [P, 3]
+    r_w = 0.5 * jnp.sqrt(jnp.sum((w_hi - w_lo) ** 2, axis=-1) + tiny)
+    len_w = jnp.sqrt(jnp.sum(c_w**2, axis=-1) + tiny)
+    sin_a = jnp.clip(r_w / len_w, 0.0, 1.0)
+    cos_a = jnp.sqrt(jnp.maximum(1.0 - sin_a * sin_a, 0.0))
+    axis = c_w / len_w[..., None]
+
+    bc = 0.5 * (b_min + b_max) - apex_p[:, None, :]  # [P, SC, 3]
+    r_b = 0.5 * jnp.sqrt(
+        jnp.sum((b_max - b_min) ** 2, axis=-1)
+    ) + 2.0 * slack
+    vproj = jnp.sum(bc * axis[:, None, :], axis=-1)
+    d_ax = jnp.sqrt(
+        jnp.maximum(jnp.sum(bc * bc, axis=-1) - vproj * vproj, 0.0)
+    )
+    e = cos_a[:, None] * d_ax - sin_a[:, None] * vproj
+    return (e <= r_b) | (len_w <= r_w * 1.0001)[:, None]
+
+
+# live-member permutation packing: 5 bits per member index, 6 per u32 word
+_PERM_PER_WORD = 6
+_PERM_BITS = 5
+
+
+def _member_runs(bounds, pair_tile, pair_sc, cl_min, cl_max, sc,
+                 apex=None, apex_slack=0.0):
+    """(count [P] i32, perm [P * W] u32): live-first member permutation.
+
+    The kernel walks exactly ``count`` member clusters per pair through the
+    packed permutation (5-bit indices, 6 per word) with index clamping —
+    re-testing the last live member is idempotent under the min-combine —
+    so NO per-member scalar cond runs for dead members (the old bitmask
+    walk cost one lax.cond per member: 3.5 M conds on the 1M-tri frame).
+    """
+    assert sc <= 32
+    member = _member_mask(bounds, pair_tile, pair_sc, cl_min, cl_max, sc,
+                          apex=apex, apex_slack=apex_slack)
+    count = jnp.sum(member, axis=1, dtype=jnp.int32)  # [P]
+    order = jnp.argsort(~member, axis=1, stable=True).astype(jnp.uint32)
+    W = -(-sc // _PERM_PER_WORD)
+    pad = W * _PERM_PER_WORD - sc
+    if pad:
+        order = jnp.concatenate(
+            [order, jnp.zeros((order.shape[0], pad), jnp.uint32)], axis=1
+        )
+    order = order.reshape(order.shape[0], W, _PERM_PER_WORD)
+    shifts = (
+        jnp.arange(_PERM_PER_WORD, dtype=jnp.uint32) * _PERM_BITS
+    )[None, None]
+    perm = jnp.sum(order << shifts, axis=2, dtype=jnp.uint32)  # [P, W]
+    return count, perm.reshape(-1)
+
+
 def bin_pairs(sc_min, sc_max, origins, dirs, pairs_cap: int,
               tile_rays: int = TILE_RAYS, active=None, cl_min=None,
-              cl_max=None):
+              cl_max=None, apex=None, apex_slack: float = 0.0,
+              near_first: bool = False):
     """Phase A: tile-major (tile, supercluster) interaction pairs.
 
     Returns (pair_tile [P], pair_sc [P], pair_valid [P], total_pairs [],
@@ -103,26 +219,42 @@ def bin_pairs(sc_min, sc_max, origins, dirs, pairs_cap: int,
     never overlap) per bit.  Without boxes, all bits set.
     """
     tiles = origins.shape[0] // tile_rays
-    o = origins.reshape(tiles, tile_rays, 3)
-    d = dirs.reshape(tiles, tile_rays, 3)
-    if active is None:
-        o_lo, o_hi = o.min(axis=1), o.max(axis=1)
-        d_lo, d_hi = d.min(axis=1), d.max(axis=1)
-        tile_any = None
-    else:
-        INF = jnp.float32(3.4e38)
-        a = active.reshape(tiles, tile_rays, 1)
-        o_lo = jnp.where(a, o, INF).min(axis=1)
-        o_hi = jnp.where(a, o, -INF).max(axis=1)
-        d_lo = jnp.where(a, d, INF).min(axis=1)
-        d_hi = jnp.where(a, d, -INF).max(axis=1)
-        tile_any = jnp.any(a[..., 0], axis=1)
+    o_lo, o_hi, d_lo, d_hi, tile_any = _tile_bounds(
+        origins, dirs, tile_rays, active
+    )
 
-    mask = _frustum_box_mask(o_lo, o_hi, d_lo, d_hi, sc_min, sc_max)
+    if apex is not None:
+        # point-light shadow wavefront: light-side shaft + bounding cone
+        # against the SUPERCLUSTER boxes (pallas_trace apex semantics)
+        sl = jnp.float32(apex_slack)
+        w_lo = (o_lo - sl) - apex
+        w_hi = (o_hi + sl) - apex
+        mask = _frustum_box_mask(
+            apex, apex, w_lo, w_hi, sc_min - 2.0 * sl, sc_max + 2.0 * sl,
+            t_cap=jnp.float32(1.0 + 1e-4),
+        ) & _apex_cone_mask(apex, w_lo, w_hi, sc_min, sc_max, sl)
+    else:
+        mask = _frustum_box_mask(o_lo, o_hi, d_lo, d_hi, sc_min, sc_max)
     if tile_any is not None:
         mask = mask & tile_any[:, None]
 
     L2 = sc_min.shape[0]
+    if near_first:
+        # per-tile NEAR-ORIGIN-FIRST supercluster order: occlusion walks
+        # find blockers close to the surface first, so the tile-done
+        # early exit fires after a pair or two instead of after the whole
+        # (Morton-ordered) shaft.  Hit results are order-independent for
+        # occlusion (any blocker suffices).
+        o_c = 0.5 * (o_lo + o_hi)  # [tiles, 3]
+        sc_c = 0.5 * (sc_min + sc_max)  # [L2, 3]
+        dist = jnp.sum(
+            (sc_c[None, :, :] - o_c[:, None, :]) ** 2, axis=-1
+        )
+        INFD = jnp.float32(3.4e38)
+        ord_d = jnp.argsort(
+            jnp.where(mask, dist, INFD), axis=1
+        ).astype(jnp.int32)  # [tiles, L2] live-near-first
+        mask = jnp.take_along_axis(mask, ord_d, axis=1)
     flat = mask.reshape(-1)
     # stable argsort of ~mask: True entries first, in row-major order
     # == grouped by tile (essential: same-tile pairs must be consecutive
@@ -137,7 +269,11 @@ def bin_pairs(sc_min, sc_max, origins, dirs, pairs_cap: int,
     p = jnp.arange(pairs_cap, dtype=jnp.int32)
     valid = p < total
     pair_tile = jnp.where(valid, order // L2, 0)
-    pair_sc = jnp.where(valid, order % L2, 0)
+    rank = order % L2
+    if near_first:
+        pair_sc = jnp.where(valid, ord_d[pair_tile, rank], 0)
+    else:
+        pair_sc = jnp.where(valid, rank, 0)
     # dead padding pairs repeat the LAST valid pair's indices, so the
     # pipeline re-fetches nothing and the output block never moves
     last_tile = pair_tile[jnp.maximum(total - 1, 0)]
@@ -149,27 +285,21 @@ def bin_pairs(sc_min, sc_max, origins, dirs, pairs_cap: int,
         pair_bits = jnp.full((pairs_cap,), 0xFFFFFFFF, jnp.uint32)
     else:
         sc = cl_min.shape[0] // sc_min.shape[0]
-        L2b = cl_min.shape[0] // sc
-        mb_min = cl_min.reshape(L2b, sc, 3)[pair_sc]  # [P, SC, 3]
-        mb_max = cl_max.reshape(L2b, sc, 3)[pair_sc]
-        member = _frustum_box_mask(
-            o_lo[pair_tile], o_hi[pair_tile],
-            d_lo[pair_tile], d_hi[pair_tile],
-            mb_min, mb_max,
-        )  # [P, SC] (bmin/bmax carry the leading P batch dim)
-        weights = (jnp.uint32(1) << jnp.arange(sc, dtype=jnp.uint32))[None]
-        pair_bits = jnp.sum(
-            jnp.where(member, weights, jnp.uint32(0)), axis=1,
-            dtype=jnp.uint32,
+        pair_bits = _member_bits(
+            (o_lo, o_hi, d_lo, d_hi, tile_any), pair_tile, pair_sc,
+            cl_min, cl_max, sc,
         )
     return pair_tile, pair_sc, valid.astype(jnp.int32), total, pair_bits
+
+
+_STREAM_UNROLL = 4  # member clusters tested per loop iteration
 
 
 def _stream_kernel(
     pair_tile_ref,  # [P] SMEM (scalar prefetch)
     pair_sc_ref,  # [P] SMEM
-    pair_valid_ref,  # [P] SMEM
-    pair_bits_ref,  # [P] SMEM uint32 — member-cluster survival bitmask
+    pair_count_ref,  # [P] SMEM i32 — live member-cluster count
+    pair_perm_ref,  # [P * W] SMEM u32 — packed live-first member perm
     o_ref,  # [1, 3, TR] VMEM — the pair's ray tile
     d_ref,  # [1, 3, TR] VMEM
     n_ref,  # [SC_CLUSTERS, 16, 3] VMEM — streamed supercluster slice
@@ -184,6 +314,7 @@ def _stream_kernel(
     p = pl.program_id(0)
     INF = jnp.float32(jnp.inf)
     BIGID = jnp.int32(2**30)
+    W = pair_perm_ref.shape[0] // pair_tile_ref.shape[0]
 
     first_of_tile = jnp.logical_or(
         p == 0, pair_tile_ref[p] != pair_tile_ref[jnp.maximum(p - 1, 0)]
@@ -194,25 +325,31 @@ def _stream_kernel(
         best_t_ref[...] = jnp.full_like(best_t_ref, INF)
         best_tri_ref[...] = jnp.full_like(best_tri_ref, -1)
 
-    @pl.when(pair_valid_ref[p] > 0)
+    count = pair_count_ref[p]
+
+    @pl.when(count > 0)
     def _work():
         ox, oy, oz = o_ref[0, 0:1, :], o_ref[0, 1:2, :], o_ref[0, 2:3, :]
         dx, dy, dz = d_ref[0, 0:1, :], d_ref[0, 1:2, :], d_ref[0, 2:3, :]
-        bits = pair_bits_ref[p]
 
-        def body(ci, carry):
-            # Phase A flags which member clusters can touch this tile's
-            # frustum (superclusters are coarse — often only a fraction
-            # survive); the scalar core branches past the 16-triangle test
-            # burst for culled members.  Padding clusters (inverted AABBs)
-            # are culled for free the same way.
-            bit_on = (
-                jax.lax.shift_right_logical(bits, ci.astype(jnp.uint32))
-                & jnp.uint32(1)
-            ) > 0
-            return jax.lax.cond(
-                bit_on, lambda c: _test_cluster(ci, c), lambda c: c, carry
-            )
+        def member_at(idx):
+            # the idx-th LIVE member\'s cluster index from the 5-bit-packed
+            # permutation; indices past count clamp to the last live member
+            # (re-testing is idempotent under the strict-< min-combine), so
+            # no per-member cond runs — the old bitmask walk paid one
+            # lax.cond per member (3.5 M scalar conds on the 1M-tri frame).
+            idx = jnp.minimum(idx, count - 1)
+            word = pair_perm_ref[p * W + idx // _PERM_PER_WORD]
+            sh = (idx % _PERM_PER_WORD).astype(jnp.uint32) * _PERM_BITS
+            return (
+                jax.lax.shift_right_logical(word, sh) & jnp.uint32(31)
+            ).astype(jnp.int32)
+
+        def body(k, carry):
+            base = k * _STREAM_UNROLL
+            for u in range(_STREAM_UNROLL):
+                carry = _test_cluster(member_at(base + u), carry)
+            return carry
 
         def _test_cluster(ci, carry):
             best_t, best_tri = carry
@@ -254,37 +391,171 @@ def _stream_kernel(
             )
 
         init = (best_t_ref[0], best_tri_ref[0])
-        best_t, best_tri = jax.lax.fori_loop(0, n_ref.shape[0], body, init)
+        steps = (count + _STREAM_UNROLL - 1) // _STREAM_UNROLL
+        best_t, best_tri = jax.lax.fori_loop(0, steps, body, init)
         best_t_ref[0] = best_t
         best_tri_ref[0] = best_tri
 
 
+def _stream_occl_kernel(
+    pair_tile_ref,  # [P] SMEM
+    pair_sc_ref,  # [P] SMEM
+    pair_count_ref,  # [P] SMEM i32
+    pair_perm_ref,  # [P * W] SMEM u32
+    o_ref,  # [1, 3, TR] VMEM
+    d_ref,  # [1, 3, TR] VMEM
+    r2_ref,  # [1, 1, TR] VMEM — squared max occlusion distance
+    prev_ref,  # [1, 1, TR] VMEM i32 — prior-launch occlusion carry
+    n_ref, nv0_ref, m_ref, c_ref, nobf_ref,
+    occ_ref,  # [1, 1, TR] i32 out
+):
+    """Occlusion-specialized stream kernel with TILE-DONE early exit.
+
+    Shadow wavefronts through dense large scenes occlude almost every
+    lane within the first pair or two, but a tile can have dozens of
+    pairs — before walking a pair\'s members the kernel checks whether
+    the (output-resident) occlusion plane is already all-blocked and
+    skips the whole pair (one [1, TR] reduction vs ~count bursts).
+    ``prev_ref`` carries occlusion across multi-launch blocks so later
+    blocks early-exit on tiles finished by earlier ones."""
+    p = pl.program_id(0)
+    W = pair_perm_ref.shape[0] // pair_tile_ref.shape[0]
+
+    first_of_tile = jnp.logical_or(
+        p == 0, pair_tile_ref[p] != pair_tile_ref[jnp.maximum(p - 1, 0)]
+    )
+
+    @pl.when(first_of_tile)
+    def _init():
+        occ_ref[...] = prev_ref[...]
+
+    count = pair_count_ref[p]
+    done = jnp.all(occ_ref[0, 0:1, :] > 0)
+
+    @pl.when((count > 0) & jnp.logical_not(done))
+    def _work():
+        ox, oy, oz = o_ref[0, 0:1, :], o_ref[0, 1:2, :], o_ref[0, 2:3, :]
+        dx, dy, dz = d_ref[0, 0:1, :], d_ref[0, 1:2, :], d_ref[0, 2:3, :]
+        r2 = r2_ref[0, 0:1, :]
+
+        def member_at(idx):
+            idx = jnp.minimum(idx, count - 1)
+            word = pair_perm_ref[p * W + idx // _PERM_PER_WORD]
+            sh = (idx % _PERM_PER_WORD).astype(jnp.uint32) * _PERM_BITS
+            return (
+                jax.lax.shift_right_logical(word, sh) & jnp.uint32(31)
+            ).astype(jnp.int32)
+
+        def one(ci, blocked):
+            n = n_ref[ci]
+            nd = n[:, 0:1] * dx + n[:, 1:2] * dy + n[:, 2:3] * dz
+            no = n[:, 0:1] * ox + n[:, 1:2] * oy + n[:, 2:3] * oz
+            opd = nv0_ref[ci][:, None] - no
+            not_parallel = jnp.abs(nd) >= PARALLEL_EPS
+            face_ok = (opd < 0.0) | (nobf_ref[ci][:, None] > 0.5)
+            t = opd / jnp.where(not_parallel, nd, 1.0)
+            valid = not_parallel & face_ok & (t >= 0.0) & (t * t <= r2)
+            m = m_ref[ci]
+            c = c_ref[ci]
+            for e in range(3):
+                md = (
+                    m[:, 3 * e + 0 : 3 * e + 1] * dx
+                    + m[:, 3 * e + 1 : 3 * e + 2] * dy
+                    + m[:, 3 * e + 2 : 3 * e + 3] * dz
+                )
+                mo = (
+                    m[:, 3 * e + 0 : 3 * e + 1] * ox
+                    + m[:, 3 * e + 1 : 3 * e + 2] * oy
+                    + m[:, 3 * e + 2 : 3 * e + 3] * oz
+                )
+                valid = valid & ((mo - c[:, e : e + 1]) + t * md >= 0.0)
+            return blocked | jnp.any(
+                valid, axis=0, keepdims=True
+            ).astype(jnp.int32)
+
+        def body(k, blocked):
+            base = k * _STREAM_UNROLL
+            for u in range(_STREAM_UNROLL):
+                blocked = one(member_at(base + u), blocked)
+            return blocked
+
+        steps = (count + _STREAM_UNROLL - 1) // _STREAM_UNROLL
+        blocked = jax.lax.fori_loop(
+            0, steps, body, occ_ref[0, 0:1, :]
+        )
+        occ_ref[0, 0, :] = blocked[0]
+
+
+def _launch_stream_occl(tables, sc, o_t, d_t, r2_t, prev_occ, pair_tile,
+                        pair_sc, pair_count, pair_perm, cap: int,
+                        tile_rays: int, interpret: bool):
+    """Occlusion launch at static grid ``cap`` -> occ [tiles, 1, TR] i32."""
+    tiles = o_t.shape[0]
+    W = -(-sc // _PERM_PER_WORD)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(cap,),
+        in_specs=[
+            pl.BlockSpec((1, 3, tile_rays),
+                         lambda p, pt, ps, pc, pm: (pt[p], 0, 0)),
+            pl.BlockSpec((1, 3, tile_rays),
+                         lambda p, pt, ps, pc, pm: (pt[p], 0, 0)),
+            pl.BlockSpec((1, 1, tile_rays),
+                         lambda p, pt, ps, pc, pm: (pt[p], 0, 0)),
+            pl.BlockSpec((1, 1, tile_rays),
+                         lambda p, pt, ps, pc, pm: (pt[p], 0, 0)),
+            pl.BlockSpec((sc, 16, 3), lambda p, pt, ps, pc, pm: (ps[p], 0, 0)),
+            pl.BlockSpec((sc, 16), lambda p, pt, ps, pc, pm: (ps[p], 0)),
+            pl.BlockSpec((sc, 16, 9), lambda p, pt, ps, pc, pm: (ps[p], 0, 0)),
+            pl.BlockSpec((sc, 16, 3), lambda p, pt, ps, pc, pm: (ps[p], 0, 0)),
+            pl.BlockSpec((sc, 16), lambda p, pt, ps, pc, pm: (ps[p], 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, tile_rays),
+                         lambda p, pt, ps, pc, pm: (pt[p], 0, 0)),
+        ],
+    )
+    (occ,) = pl.pallas_call(
+        _stream_occl_kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((tiles, 1, tile_rays), jnp.int32)],
+        interpret=interpret,
+    )(
+        pair_tile[:cap], pair_sc[:cap], pair_count[:cap],
+        pair_perm[: cap * W],
+        o_t, d_t, r2_t, prev_occ,
+        tables.n, tables.nv0, tables.m, tables.c, tables.nobf,
+    )
+    return occ
+
+
 def _launch_stream_kernel(tables, sc, o_t, d_t, pair_tile, pair_sc,
-                          pair_valid, pair_bits, cap: int, tile_rays: int,
+                          pair_count, pair_perm, cap: int, tile_rays: int,
                           interpret: bool):
     """One pallas_call at a STATIC grid size ``cap`` over the first ``cap``
     entries of the (tile-major) pair arrays."""
     tiles = o_t.shape[0]
+    W = -(-sc // _PERM_PER_WORD)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,  # pair_tile, pair_sc, pair_valid, pair_bits
+        num_scalar_prefetch=4,  # pair_tile, pair_sc, pair_count, pair_perm
         grid=(cap,),
         in_specs=[
             pl.BlockSpec((1, 3, tile_rays),
-                         lambda p, pt, ps, pv, pb: (pt[p], 0, 0)),
+                         lambda p, pt, ps, pc, pm: (pt[p], 0, 0)),
             pl.BlockSpec((1, 3, tile_rays),
-                         lambda p, pt, ps, pv, pb: (pt[p], 0, 0)),
-            pl.BlockSpec((sc, 16, 3), lambda p, pt, ps, pv, pb: (ps[p], 0, 0)),
-            pl.BlockSpec((sc, 16), lambda p, pt, ps, pv, pb: (ps[p], 0)),
-            pl.BlockSpec((sc, 16, 9), lambda p, pt, ps, pv, pb: (ps[p], 0, 0)),
-            pl.BlockSpec((sc, 16, 3), lambda p, pt, ps, pv, pb: (ps[p], 0, 0)),
-            pl.BlockSpec((sc, 16), lambda p, pt, ps, pv, pb: (ps[p], 0)),
-            pl.BlockSpec((sc, 16), lambda p, pt, ps, pv, pb: (ps[p], 0)),
+                         lambda p, pt, ps, pc, pm: (pt[p], 0, 0)),
+            pl.BlockSpec((sc, 16, 3), lambda p, pt, ps, pc, pm: (ps[p], 0, 0)),
+            pl.BlockSpec((sc, 16), lambda p, pt, ps, pc, pm: (ps[p], 0)),
+            pl.BlockSpec((sc, 16, 9), lambda p, pt, ps, pc, pm: (ps[p], 0, 0)),
+            pl.BlockSpec((sc, 16, 3), lambda p, pt, ps, pc, pm: (ps[p], 0, 0)),
+            pl.BlockSpec((sc, 16), lambda p, pt, ps, pc, pm: (ps[p], 0)),
+            pl.BlockSpec((sc, 16), lambda p, pt, ps, pc, pm: (ps[p], 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, tile_rays),
-                         lambda p, pt, ps, pv, pb: (pt[p], 0, 0)),
+                         lambda p, pt, ps, pc, pm: (pt[p], 0, 0)),
             pl.BlockSpec((1, 1, tile_rays),
-                         lambda p, pt, ps, pv, pb: (pt[p], 0, 0)),
+                         lambda p, pt, ps, pc, pm: (pt[p], 0, 0)),
         ],
     )
     return pl.pallas_call(
@@ -296,7 +567,8 @@ def _launch_stream_kernel(tables, sc, o_t, d_t, pair_tile, pair_sc,
         ],
         interpret=interpret,
     )(
-        pair_tile[:cap], pair_sc[:cap], pair_valid[:cap], pair_bits[:cap],
+        pair_tile[:cap], pair_sc[:cap], pair_count[:cap],
+        pair_perm[: cap * W],
         o_t, d_t,
         tables.n, tables.nv0, tables.m, tables.c, tables.nobf,
         tables.tri_id,
@@ -305,7 +577,8 @@ def _launch_stream_kernel(tables, sc, o_t, d_t, pair_tile, pair_sc,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pairs_cap", "tile_rays", "interpret", "tiered"),
+    static_argnames=("pairs_cap", "tile_rays", "interpret", "tiered",
+                     "block"),
 )
 def closest_hit_stream_flat(
     tables: ClusterTables,  # cluster axis padded to SC_CLUSTERS
@@ -314,71 +587,251 @@ def closest_hit_stream_flat(
     origins,  # [R, 3], R % tile_rays == 0
     dirs,
     active=None,
-    pairs_cap: int = 32768,
+    pairs_cap: int | None = None,
     tile_rays: int = TILE_RAYS,
     interpret: bool = False,
     tiered: bool = True,
+    block: int = 16384,
+    apex=None,  # [tiles, 3]: point-light shadow shaft binning
+    apex_slack=0.0,
 ):
     """Streaming closest hit.  Returns (Hit, total_pairs).
 
-    ``tiered``: the grid size must be static, but the LIVE pair count is
-    data-dependent and usually far below ``pairs_cap`` (sized for the worst
-    frame) — dead padding pairs still pay per-grid-step sequencing.  With
-    tiering, four kernels at caps {cap/8, cap/4, cap/2, cap} are compiled
-    and ``lax.switch`` executes only the smallest one that holds the live
-    count, all inside the jit (pair arrays are statically sliced per
-    branch; the binning itself is shared).  Bit-identical output: dead
-    pairs do no work in any tier.
+    The pair list defaults to EXACT capacity (tiles x superclusters) —
+    overflow-free for any scene.  Grid sizes must be static and the SMEM
+    scalar-prefetch budget bounds one launch to ~``block`` pairs, so the
+    kernel runs as a ``lax.while_loop`` over ceil(total/block) launches
+    (block=16384 keeps tile ids + member counts + the 5-bit-packed member
+    permutations within the 1 MB SMEM scalar-prefetch budget)
+    (only LIVE blocks execute; per-launch partial hits min-combine with
+    the reference's lowest-id tie-break).  Single-block pair lists keep
+    the tiered lax.switch fast path: four kernels at caps {cap/8 .. cap}
+    and only the smallest that holds the live count runs.
+
+    Round-2 regression disclosed: the old fixed pairs_cap=32768 silently
+    DROPPED pairs past the cap (the 1M-triangle benchmark needs ~111k) —
+    the published 572.6 ms big-scene number was rendering incomplete
+    geometry.  The multi-launch path removes the failure mode entirely.
     """
     R = origins.shape[0]
     tiles = R // tile_rays
     L2 = sc_min.shape[0]
-
-    pair_tile, pair_sc, pair_valid, total, pair_bits = bin_pairs(
-        sc_min, sc_max, origins, dirs, pairs_cap, tile_rays, active,
-        cl_min=tables.cl_min, cl_max=tables.cl_max,
-    )
+    if pairs_cap is None:
+        pairs_cap = tiles * L2  # exact upper bound — cannot overflow
+    pairs_cap = min(pairs_cap, tiles * L2)
 
     o_t = origins.reshape(tiles, tile_rays, 3).swapaxes(1, 2)
     d_t = dirs.reshape(tiles, tile_rays, 3).swapaxes(1, 2)
-
     sc = tables.n.shape[0] // L2
-    caps = [pairs_cap]
-    if tiered:
-        caps = sorted(
-            {max(1, pairs_cap >> s) for s in (3, 2, 1, 0)}
-        )
 
-    def make_branch(cap):
-        def branch(args):
-            return _launch_stream_kernel(
-                tables, sc, *args, cap=cap, tile_rays=tile_rays,
-                interpret=interpret,
+    bounds = _tile_bounds(origins, dirs, tile_rays, active)
+
+    if pairs_cap <= block:
+        # single-launch fast path (small scenes / tests): tiered switch
+        pair_tile, pair_sc, pair_valid, total, _ = bin_pairs(
+            sc_min, sc_max, origins, dirs, pairs_cap, tile_rays, active,
+            apex=apex, apex_slack=apex_slack,
+        )
+        pair_count, pair_perm = _member_runs(
+            bounds, pair_tile, pair_sc, tables.cl_min, tables.cl_max, sc,
+            apex=apex, apex_slack=apex_slack,
+        )
+        pair_count = jnp.where(pair_valid > 0, pair_count, 0)
+        caps = [pairs_cap]
+        if tiered:
+            caps = sorted({max(1, pairs_cap >> s) for s in (3, 2, 1, 0)})
+
+        def make_branch(cap):
+            def branch(args):
+                return _launch_stream_kernel(
+                    tables, sc, *args, cap=cap, tile_rays=tile_rays,
+                    interpret=interpret,
+                )
+            return branch
+
+        args = (o_t, d_t, pair_tile, pair_sc, pair_count, pair_perm)
+        if len(caps) == 1:
+            best_t, best_tri = make_branch(caps[0])(args)
+        else:
+            tier = jnp.searchsorted(
+                jnp.asarray(caps, jnp.int32), total, side="left"
             )
-        return branch
+            tier = jnp.minimum(tier, len(caps) - 1)
+            best_t, best_tri = jax.lax.switch(
+                tier, [make_branch(c) for c in caps], args
+            )
+        touched = (
+            jnp.zeros((tiles,), jnp.int32).at[pair_tile].max(pair_valid) > 0
+        )
+        best_t = jnp.where(touched[:, None, None], best_t, jnp.inf)
+        best_tri = jnp.where(touched[:, None, None], best_tri, -1)
+        return Hit(t=best_t.reshape(-1), tri=best_tri.reshape(-1)), total
 
-    args = (o_t, d_t, pair_tile, pair_sc, pair_valid, pair_bits)
-    if len(caps) == 1:
-        best_t, best_tri = make_branch(caps[0])(args)
-    else:
-        # smallest tier that holds every live pair (total > pairs_cap
-        # would overflow in ANY tier — callers size the cap, tests assert)
-        tier = jnp.searchsorted(
-            jnp.asarray(caps, jnp.int32), total, side="left"
-        )
-        tier = jnp.minimum(tier, len(caps) - 1)
-        best_t, best_tri = jax.lax.switch(
-            tier, [make_branch(c) for c in caps], args
-        )
-    # tiles with zero pairs never get initialized by the kernel — their
-    # frustum intersected nothing, so they are misses by construction;
-    # mask them explicitly.
-    touched = (
-        jnp.zeros((tiles,), jnp.int32).at[pair_tile].max(pair_valid) > 0
+    # ---- multi-launch: while_loop over live pair blocks -------------------
+    pair_tile, pair_sc, pair_valid, total, _bits = bin_pairs(
+        sc_min, sc_max, origins, dirs, pairs_cap, tile_rays, active,
+        apex=apex, apex_slack=apex_slack,
     )
-    best_t = jnp.where(touched[:, None, None], best_t, jnp.inf)
-    best_tri = jnp.where(touched[:, None, None], best_tri, -1)
+    nblocks = -(-pairs_cap // block)
+    pad = nblocks * block - pairs_cap
+    if pad:
+        # repeat-last padding: no tile change, no re-DMA (see the
+        # occlusion path for why zero-padding is a correctness hazard)
+        pair_tile = jnp.concatenate(
+            [pair_tile, jnp.broadcast_to(pair_tile[-1:], (pad,))]
+        )
+        pair_sc = jnp.concatenate(
+            [pair_sc, jnp.broadcast_to(pair_sc[-1:], (pad,))]
+        )
+        pair_valid = jnp.concatenate(
+            [pair_valid, jnp.zeros((pad,), jnp.int32)]
+        )
+
+    INF = jnp.float32(jnp.inf)
+    init = (
+        jnp.int32(0),
+        jnp.full((tiles, 1, tile_rays), INF, jnp.float32),
+        jnp.full((tiles, 1, tile_rays), -1, jnp.int32),
+    )
+
+    def cond(state):
+        i, *_ = state
+        return i * block < total
+
+    def body(state):
+        i, best_t, best_tri = state
+        start = i * block
+        blk_tile = jax.lax.dynamic_slice_in_dim(pair_tile, start, block)
+        blk_sc = jax.lax.dynamic_slice_in_dim(pair_sc, start, block)
+        blk_valid = jax.lax.dynamic_slice_in_dim(pair_valid, start, block)
+        blk_count, blk_perm = _member_runs(
+            bounds, blk_tile, blk_sc, tables.cl_min, tables.cl_max, sc,
+            apex=apex, apex_slack=apex_slack,
+        )
+        blk_count = jnp.where(blk_valid > 0, blk_count, 0)
+        out_t, out_tri = _launch_stream_kernel(
+            tables, sc, o_t, d_t, blk_tile, blk_sc, blk_count, blk_perm,
+            cap=block, tile_rays=tile_rays, interpret=interpret,
+        )
+        touched = (
+            jnp.zeros((tiles,), jnp.int32).at[blk_tile].max(blk_valid) > 0
+        )[:, None, None]
+        out_t = jnp.where(touched, out_t, INF)
+        out_tri = jnp.where(touched, out_tri, -1)
+        # strict < combine: at equal t the EARLIER pair wins — exactly the
+        # in-launch sequential rule (`cl_best < best_t` in _stream_kernel),
+        # so splitting the pair list across launches is invisible.
+        better = out_t < best_t
+        return (
+            i + 1,
+            jnp.where(better, out_t, best_t),
+            jnp.where(better, out_tri, best_tri),
+        )
+
+    _, best_t, best_tri = jax.lax.while_loop(cond, body, init)
     return Hit(t=best_t.reshape(-1), tri=best_tri.reshape(-1)), total
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pairs_cap", "tile_rays", "interpret", "block"),
+)
+def occluded_stream_flat(
+    tables: ClusterTables,
+    sc_min,
+    sc_max,
+    origins,  # [R, 3], R % tile_rays == 0
+    dirs,
+    r2,  # [R] squared max occlusion distance
+    active,
+    apex,  # [tiles, 3] light positions per tile
+    apex_slack,
+    pairs_cap: int | None = None,
+    tile_rays: int = TILE_RAYS,
+    interpret: bool = False,
+    block: int = 16384,
+):
+    """Streaming any-hit occlusion -> [R] bool (apex shadow binning).
+
+    Same pair machinery as closest_hit_stream_flat but through the
+    occlusion kernel with TILE-DONE early exit — dense scenes block most
+    lanes within a pair or two while a tile can have dozens of pairs."""
+    R = origins.shape[0]
+    tiles = R // tile_rays
+    L2 = sc_min.shape[0]
+    if pairs_cap is None:
+        pairs_cap = tiles * L2
+    pairs_cap = min(pairs_cap, tiles * L2)
+
+    o_t = origins.reshape(tiles, tile_rays, 3).swapaxes(1, 2)
+    d_t = dirs.reshape(tiles, tile_rays, 3).swapaxes(1, 2)
+    r2_t = r2.reshape(tiles, 1, tile_rays)
+    sc = tables.n.shape[0] // L2
+
+    bounds = _tile_bounds(origins, dirs, tile_rays, active)
+    pair_tile, pair_sc, pair_valid, total, _ = bin_pairs(
+        sc_min, sc_max, origins, dirs, pairs_cap, tile_rays, active,
+        apex=apex, apex_slack=apex_slack, near_first=True,
+    )
+    nblocks = -(-pairs_cap // block)
+    pad = nblocks * block - pairs_cap
+    if pad:
+        # pad by REPEATING the last pair's indices (count/valid 0): a
+        # zero-pad would flip first_of_tile at the valid->padding boundary
+        # and re-initialize tile 0's live occlusion state mid-launch
+        pair_tile = jnp.concatenate(
+            [pair_tile, jnp.broadcast_to(pair_tile[-1:], (pad,))]
+        )
+        pair_sc = jnp.concatenate(
+            [pair_sc, jnp.broadcast_to(pair_sc[-1:], (pad,))]
+        )
+        pair_valid = jnp.concatenate(
+            [pair_valid, jnp.zeros((pad,), jnp.int32)]
+        )
+
+    # inactive lanes seed as "blocked": their occlusion is never consumed
+    # (shading masks by activity), and without this a single inactive lane
+    # keeps the tile-done early exit from ever firing
+    if active is not None:
+        init_occ = (
+            jnp.logical_not(active).astype(jnp.int32)
+            .reshape(tiles, 1, tile_rays)
+        )
+    else:
+        init_occ = jnp.zeros((tiles, 1, tile_rays), jnp.int32)
+
+    def one_block(start, occ):
+        blk_tile = jax.lax.dynamic_slice_in_dim(pair_tile, start, block)
+        blk_sc = jax.lax.dynamic_slice_in_dim(pair_sc, start, block)
+        blk_valid = jax.lax.dynamic_slice_in_dim(pair_valid, start, block)
+        blk_count, blk_perm = _member_runs(
+            bounds, blk_tile, blk_sc, tables.cl_min, tables.cl_max, sc,
+            apex=apex, apex_slack=apex_slack,
+        )
+        blk_count = jnp.where(blk_valid > 0, blk_count, 0)
+        out = _launch_stream_occl(
+            tables, sc, o_t, d_t, r2_t, occ, blk_tile, blk_sc,
+            blk_count, blk_perm, cap=block, tile_rays=tile_rays,
+            interpret=interpret,
+        )
+        touched = (
+            jnp.zeros((tiles,), jnp.int32).at[blk_tile].max(blk_valid) > 0
+        )[:, None, None]
+        return jnp.where(touched, out, occ)
+
+    if nblocks == 1:
+        occ = one_block(jnp.int32(0), init_occ)
+    else:
+        def cond(state):
+            i, _ = state
+            return i * block < total
+
+        def body(state):
+            i, occ = state
+            return (i + 1, one_block(i * block, occ))
+
+        _, occ = jax.lax.while_loop(cond, body, (jnp.int32(0), init_occ))
+    return occ.reshape(-1) > 0
 
 
 def make_stream_trace_fn(scene, pairs_cap: int | None = None,
@@ -391,10 +844,9 @@ def make_stream_trace_fn(scene, pairs_cap: int | None = None,
     tables = build_cluster_tables(scene)
     tables, sc_min, sc_max = build_supercluster_boxes(tables, sc_clusters)
     tables = jax.tree.map(jax.lax.stop_gradient, tables)
-    if pairs_cap is None:
-        # generous default: every tile of a 2 M-ray frame touching 16
-        # superclusters; overflow loses geometry, so size up for safety
-        pairs_cap = 32768
+    # pairs_cap=None -> exact capacity (tiles x superclusters) inside
+    # closest_hit_stream_flat: overflow-free; the kernel multi-launches
+    # over <=32k-pair blocks as needed.
 
     def trace(origins, dirs, active=None):
         batch_shape = origins.shape[:-1]
@@ -425,5 +877,40 @@ def make_stream_trace_fn(scene, pairs_cap: int | None = None,
             t=hit.t[:R].reshape(batch_shape),
             tri=hit.tri[:R].reshape(batch_shape),
         )
+
+    def shadow_apex(shadow_o, light_dirs, r2, light_positions, active,
+                    origin_slack):
+        """Occlusion masks for a point-light shadow wavefront -> [Ll, R]
+        bool, binned with the light-side shaft + cone against SUPERCLUSTER
+        and member boxes (the generic o/d-interval binning degenerates on
+        shadow shafts — measured multi-second frames at 1M triangles).
+        Occlusion-exact, same kernel."""
+        Ll, R = r2.shape
+        if R % tile_rays:
+            sh = trace(
+                jnp.broadcast_to(shadow_o[None], (Ll, R, 3)).reshape(-1, 3),
+                light_dirs.reshape(-1, 3),
+                jax.lax.stop_gradient(active).reshape(-1),
+            )
+            sh_t = jax.lax.stop_gradient(sh.t)
+            occ = (sh.tri >= 0) & (sh_t * sh_t <= r2.reshape(-1))
+            return occ.reshape(Ll, R)
+        o_flat = jnp.broadcast_to(
+            jax.lax.stop_gradient(shadow_o)[None], (Ll, R, 3)
+        ).reshape(-1, 3)
+        d_flat = jax.lax.stop_gradient(light_dirs).reshape(-1, 3)
+        a_flat = jax.lax.stop_gradient(active).reshape(-1)
+        apex = jnp.repeat(
+            jax.lax.stop_gradient(light_positions), R // tile_rays, axis=0
+        )
+        r2_flat = jax.lax.stop_gradient(r2).reshape(-1)
+        occ = occluded_stream_flat(
+            tables, sc_min, sc_max, o_flat, d_flat, r2_flat, a_flat,
+            apex, jnp.float32(origin_slack),
+            pairs_cap=pairs_cap, tile_rays=tile_rays, interpret=interpret,
+        )
+        return occ.reshape(Ll, R)
+
+    trace.shadow_apex = shadow_apex
 
     return trace

@@ -7,7 +7,10 @@ import subprocess
 import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-SRC = os.path.join(HERE, "crt_accel.cpp")
+SRCS = [
+    os.path.join(HERE, "crt_accel.cpp"),
+    os.path.join(HERE, "crt_ppm.cpp"),
+]
 OUT = os.path.join(HERE, "libcrt_accel.so")
 
 
@@ -15,12 +18,14 @@ def build(force: bool = False) -> str:
     if (
         not force
         and os.path.exists(OUT)
-        and os.path.getmtime(OUT) >= os.path.getmtime(SRC)
+        and all(
+            os.path.getmtime(OUT) >= os.path.getmtime(s) for s in SRCS
+        )
     ):
         return OUT
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        SRC, "-o", OUT,
+        *SRCS, "-o", OUT,
     ]
     subprocess.run(cmd, check=True)
     return OUT

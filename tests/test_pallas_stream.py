@@ -159,3 +159,86 @@ def test_stream_tiered_matches_untier():
                                   np.asarray(hit_tier.t))
     np.testing.assert_array_equal(np.asarray(hit_full.tri),
                                   np.asarray(hit_tier.tri))
+
+
+def test_multilaunch_matches_single_launch():
+    """Pair lists beyond one launch block stream through a while_loop of
+    block launches whose partial hits min-combine (lowest-id tie-break) —
+    results must equal the single-launch path exactly.  This is the path
+    that fixes the silent pair-overflow regression (a fixed 32k cap
+    dropped ~70% of the 1M-triangle benchmark's pairs)."""
+    scene, o, d = _scene_rays(num_quads=48, w=64, h=32)
+    tables = build_cluster_tables(scene)
+    tables, sc_min, sc_max = ps.build_supercluster_boxes(tables, 4)
+
+    hit_single, total = ps.closest_hit_stream_flat(
+        tables, sc_min, sc_max, o, d, None,
+        pairs_cap=None, tile_rays=TR, interpret=True, block=1 << 20,
+    )
+    assert int(total) > 3  # enough pairs to span multiple tiny blocks
+    hit_multi, total2 = ps.closest_hit_stream_flat(
+        tables, sc_min, sc_max, o, d, None,
+        pairs_cap=None, tile_rays=TR, interpret=True, block=3,
+    )
+    assert int(total) == int(total2)
+    np.testing.assert_array_equal(
+        np.asarray(hit_multi.tri), np.asarray(hit_single.tri)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(hit_multi.t), np.asarray(hit_single.t)
+    )
+    # and both match the brute-force oracle on hit DISTANCE (tri ids can
+    # legitimately differ on exact-tie lanes: the stream kernel resolves
+    # ties first-pair-in-walk-order, the oracle lowest-id)
+    tri = build_triangle_data(
+        scene.vertices, scene.tri_vidx,
+        scene.mat_backface[scene.tri_material],
+    )
+    ref = closest_hit_bruteforce(tri, o, d)
+    np.testing.assert_array_equal(
+        np.asarray(hit_multi.t), np.asarray(ref.t)
+    )
+    agree = (np.asarray(hit_multi.tri) == np.asarray(ref.tri)).mean()
+    assert agree > 0.99, agree
+
+
+def test_stream_shadow_apex_matches_generic():
+    """The stream backend's apex shadow binning (shaft + cone vs
+    supercluster AND member boxes) must produce IDENTICAL occlusion masks
+    to the generic trace-then-compare on active lanes."""
+    from crt_tpu.ops import vecmath
+    from crt_tpu.ops.intersect import Hit  # noqa: F401 (doc)
+
+    scene, o, d = _scene_rays(num_quads=24, w=32, h=16)
+    trace = ps.make_stream_trace_fn(scene, tile_rays=TR, interpret=True,
+                                    sc_clusters=4)
+    hit = trace(o, d)
+    valid = np.asarray(hit.tri) >= 0
+
+    # hit points + shadow wavefront toward the scene light
+    t = jnp.where(jnp.isfinite(hit.t), hit.t, 0.0)
+    point = o + d * t[:, None]
+    lp = scene.light_position
+    light_vec = lp[:, None, :] - point[None]
+    r2 = vecmath.length_squared(light_vec)
+    ldir = vecmath.safe_normalize(light_vec)
+    act = jnp.asarray(valid)[None] & jnp.ones_like(r2, bool)
+    shadow_o = point + jnp.asarray([[0.0, 1e-2, 0.0]])
+
+    occ_apex = np.asarray(trace.shadow_apex(
+        shadow_o, ldir, r2, lp, act, 2e-2
+    ))
+
+    Ll, R = r2.shape
+    sh = trace(
+        jnp.broadcast_to(shadow_o[None], (Ll, R, 3)).reshape(-1, 3),
+        ldir.reshape(-1, 3),
+        act.reshape(-1),
+    )
+    occ_ref = np.asarray(
+        (sh.tri >= 0) & (sh.t**2 <= r2.reshape(-1))
+    ).reshape(Ll, R)
+
+    a = np.asarray(act)
+    np.testing.assert_array_equal(occ_apex[a], occ_ref[a])
+    assert occ_ref[a].any()  # some occlusion actually exercised

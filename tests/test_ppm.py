@@ -28,3 +28,26 @@ def test_roundtrip():
     write_ppm(img, buf)
     back = read_ppm(io.StringIO(buf.getvalue()))
     np.testing.assert_allclose(back, quantize(img) / 255.0, atol=1e-6)
+
+
+def test_native_formatter_byte_identical():
+    """The native ASCII P3 formatter (native/crt_ppm.cpp) must produce the
+    EXACT bytes of the Python reference loop on arbitrary images."""
+    import numpy as np
+
+    from crt_tpu.io.native_ppm import format_ppm_native
+    from crt_tpu.io.ppm import quantize
+
+    rng = np.random.default_rng(7)
+    for h, w in ((1, 1), (3, 5), (17, 31)):
+        img = rng.random((h, w, 3)).astype(np.float32) * 1.2 - 0.1
+        arr = quantize(img)
+        lines = [f"P3\n{w} {h}\n255\n"]
+        flat = arr.reshape(h, w * 3)
+        for row in flat:
+            it = iter(row.tolist())
+            lines.append(
+                "".join(f"{r} {g} {b}\t" for r, g, b in zip(it, it, it))
+                + "\n"
+            )
+        assert format_ppm_native(arr, 255) == "".join(lines)
