@@ -50,6 +50,7 @@ from crt_tpu.ops.pallas_trace import (
     TILE_RAYS,
     ClusterTables,
     _apex_cone_mask,
+    _apex_wedge_mask,
     _frustum_box_mask,
     build_cluster_tables,
 )
@@ -144,7 +145,44 @@ def _member_mask(bounds, pair_tile, pair_sc, cl_min, cl_max, sc,
         a, a, w_lo, w_hi, mb_min - 2.0 * sl, mb_max + 2.0 * sl,
         t_cap=jnp.float32(1.0 + 1e-4),
     )
-    return m & _cone_mask_batched(a, w_lo, w_hi, mb_min, mb_max, sl)
+    m = m & _cone_mask_batched(a, w_lo, w_hi, mb_min, mb_max, sl)
+    return m & _wedge_mask_batched(a, w_lo, w_hi, mb_min, mb_max, sl)
+
+
+def _wedge_mask_batched(apex_p, w_lo, w_hi, b_min, b_max, slack):
+    """Projected 2-D wedge test with PER-ROW boxes [P, SC, 3] (see
+    pallas_trace._apex_wedge_mask for the shared-box derivation)."""
+    P, SC = b_min.shape[0], b_min.shape[1]
+    ok = jnp.ones((P, SC), bool)
+    b_lo = b_min - 2.0 * slack - apex_p[:, None, :]
+    b_hi = b_max + 2.0 * slack - apex_p[:, None, :]
+    for i, j in ((0, 1), (0, 2), (1, 2)):
+        for num, den in ((i, j), (j, i)):
+            d_lo, d_hi = w_lo[:, den], w_hi[:, den]  # [P]
+            n_lo, n_hi = w_lo[:, num], w_hi[:, num]
+            pos = d_lo > 0.0
+            neg = d_hi < 0.0
+            definite = pos | neg
+            safe_lo = jnp.where(definite, d_lo, 1.0)
+            safe_hi = jnp.where(definite, d_hi, 1.0)
+            r = jnp.stack(
+                [n_lo / safe_lo, n_lo / safe_hi,
+                 n_hi / safe_lo, n_hi / safe_hi], axis=-1,
+            )
+            w_rlo, w_rhi = r.min(-1), r.max(-1)  # [P]
+            c_nlo, c_nhi = b_lo[..., num], b_hi[..., num]  # [P, SC]
+            c_dlo, c_dhi = b_lo[..., den], b_hi[..., den]
+            c_def = jnp.where(pos[:, None], c_dlo > 0.0, c_dhi < 0.0)
+            cs_lo = jnp.where(c_def, c_dlo, 1.0)
+            cs_hi = jnp.where(c_def, c_dhi, 1.0)
+            cr = jnp.stack(
+                [c_nlo / cs_lo, c_nlo / cs_hi,
+                 c_nhi / cs_lo, c_nhi / cs_hi], axis=-1,
+            )
+            c_rlo, c_rhi = cr.min(-1), cr.max(-1)
+            overlap = (c_rhi >= w_rlo[:, None]) & (c_rlo <= w_rhi[:, None])
+            ok = ok & jnp.where(definite[:, None] & c_def, overlap, True)
+    return ok
 
 
 def _cone_mask_batched(apex_p, w_lo, w_hi, b_min, b_max, slack):
@@ -229,10 +267,15 @@ def bin_pairs(sc_min, sc_max, origins, dirs, pairs_cap: int,
         sl = jnp.float32(apex_slack)
         w_lo = (o_lo - sl) - apex
         w_hi = (o_hi + sl) - apex
-        mask = _frustum_box_mask(
-            apex, apex, w_lo, w_hi, sc_min - 2.0 * sl, sc_max + 2.0 * sl,
-            t_cap=jnp.float32(1.0 + 1e-4),
-        ) & _apex_cone_mask(apex, w_lo, w_hi, sc_min, sc_max, sl)
+        mask = (
+            _frustum_box_mask(
+                apex, apex, w_lo, w_hi,
+                sc_min - 2.0 * sl, sc_max + 2.0 * sl,
+                t_cap=jnp.float32(1.0 + 1e-4),
+            )
+            & _apex_cone_mask(apex, w_lo, w_hi, sc_min, sc_max, sl)
+            & _apex_wedge_mask(apex, w_lo, w_hi, sc_min, sc_max, sl)
+        )
     else:
         mask = _frustum_box_mask(o_lo, o_hi, d_lo, d_hi, sc_min, sc_max)
     if tile_any is not None:

@@ -65,6 +65,8 @@ CLUSTER_UNROLL = int(os.environ.get("CRT_CLUSTER_UNROLL", "4"))
 # Bounding-cone refinement of the apex shadow-shaft binning (see
 # _apex_cone_mask).  Occlusion-exact; flag kept for A/B.
 _SHADOW_CONE = os.environ.get("CRT_SHADOW_CONE", "1") != "0"
+# Projected 2-D wedge refinement (see _apex_wedge_mask).  Occlusion-exact.
+_SHADOW_WEDGE = os.environ.get("CRT_SHADOW_WEDGE", "1") != "0"
 # Occlusion-specialized shadow kernel (see _occl_kernel_compact).
 # Boolean-identical to closest-hit-then-compare; flag kept for A/B.
 _SHADOW_OCCL_KERNEL = os.environ.get("CRT_SHADOW_OCCL_KERNEL", "1") != "0"
@@ -284,6 +286,56 @@ def _apex_cone_mask(apex, w_lo, w_hi, cl_min, cl_max, slack):
     return ok | (len_w <= r_w * 1.0001)[:, None]
 
 
+def _apex_wedge_mask(apex, w_lo, w_hi, cl_min, cl_max, slack):
+    """Projected 2-D wedge refinement of the apex shaft -> [tiles, L] bool.
+
+    For each axis pair (i, j) with the direction box sign-definite in j,
+    every shaft direction satisfies w_i/w_j within the box's ratio
+    interval; a cluster whose (apex-relative, inflated) box has a disjoint
+    ratio interval cannot be reached.  Exact in each 2-D projection —
+    strictly tighter than the bounding cone for FLAT origin patches (thin
+    direction boxes), conservative everywhere (interval arithmetic only
+    where the denominator is sign-definite)."""
+    ok = jnp.ones((apex.shape[0], cl_min.shape[0]), bool)
+    b_lo = cl_min[None, :, :] - 2.0 * slack - apex[:, None, :]
+    b_hi = cl_max[None, :, :] + 2.0 * slack - apex[:, None, :]
+    for i, j in ((0, 1), (0, 2), (1, 2)):
+        for num, den in ((i, j), (j, i)):
+            d_lo, d_hi = w_lo[:, den], w_hi[:, den]  # [tiles]
+            n_lo, n_hi = w_lo[:, num], w_hi[:, num]
+            pos = d_lo > 0.0
+            neg = d_hi < 0.0
+            definite = pos | neg
+            safe_lo = jnp.where(definite, d_lo, 1.0)
+            safe_hi = jnp.where(definite, d_hi, 1.0)
+            # ratio interval of the direction box (denominator
+            # sign-definite): min/max over the 4 corner ratios
+            r = jnp.stack(
+                [n_lo / safe_lo, n_lo / safe_hi,
+                 n_hi / safe_lo, n_hi / safe_hi], axis=-1,
+            )
+            w_rlo, w_rhi = r.min(-1), r.max(-1)  # [tiles]
+            # cluster box ratio interval, same denominator sign demanded
+            c_nlo, c_nhi = b_lo[..., num], b_hi[..., num]  # [tiles, L]
+            c_dlo, c_dhi = b_lo[..., den], b_hi[..., den]
+            c_def = jnp.where(pos[:, None], c_dlo > 0.0, c_dhi < 0.0)
+            cs_lo = jnp.where(c_def, c_dlo, 1.0)
+            cs_hi = jnp.where(c_def, c_dhi, 1.0)
+            cr = jnp.stack(
+                [c_nlo / cs_lo, c_nlo / cs_hi,
+                 c_nhi / cs_lo, c_nhi / cs_hi], axis=-1,
+            )
+            c_rlo, c_rhi = cr.min(-1), cr.max(-1)  # [tiles, L]
+            overlap = (c_rhi >= w_rlo[:, None]) & (c_rlo <= w_rhi[:, None])
+            # a cluster straddling the denominator plane (not sign-definite
+            # in den) can host directions of either sign — only cull when
+            # BOTH the direction box and the cluster are definite
+            ok = ok & jnp.where(
+                definite[:, None] & c_def, overlap, True
+            )
+    return ok
+
+
 def bin_rays(tables: ClusterTables, origins, dirs, tile_rays: int | None = None,
              active=None, apex=None, apex_slack: float = 0.0):
     """Phase A.  origins/dirs: [R, 3] with R % tile_rays == 0.
@@ -354,6 +406,10 @@ def bin_rays(tables: ClusterTables, origins, dirs, tile_rays: int | None = None,
         )  # [tiles * sub, L]
         if _SHADOW_CONE:
             mask = mask & _apex_cone_mask(
+                apex_sub, w_lo, w_hi, tables.cl_min, tables.cl_max, s
+            )
+        if _SHADOW_WEDGE:
+            mask = mask & _apex_wedge_mask(
                 apex_sub, w_lo, w_hi, tables.cl_min, tables.cl_max, s
             )
     else:

@@ -4,9 +4,18 @@ The recursive wavefront in crt_tpu.ops.shade unrolls the reference's
 shade_ray recursion (crt_renderer.cpp:46-145) at trace time: a refractive
 scene compiles 2^depth trace programs and a GI scene (K+2)^depth scan
 branches.  This module replaces the call *tree* with a depth-bounded
-``lax.scan`` over a fixed-capacity ray pool: each iteration traces the whole
-pool once, so a depth-D render compiles exactly D+1 trace launches
-regardless of branching.
+iteration over a bank-structured ray pool.  Two schedules
+(``RenderSettings.wavefront_sched``):
+
+  - "scan": ``lax.scan`` over a fixed-capacity pool — ONE compiled bounce
+    body, D+1 trace launches regardless of branching (best compile time;
+    the default for non-GI scenes).
+  - "grow": an unrolled loop whose pool GROWS 1 -> f -> f^2 -> B banks
+    across bounces (f = max per-parent fanout), with depth-D leaf children
+    folded inline (no placement) and a spawn-free terminal bounce — D+1
+    compiled bodies buy skipping every dead bank's trace lanes and
+    bookkeeping.  Default for GI scenes, whose cost is ~linear in pool
+    width; makes the EXACT f^D-wide Whitted tree affordable.
 
 Pool layout — the TPU-native trick.  The pool is B *banks* of R lanes, and
 slot (b, p) permanently belongs to pixel p.  Consequences:
@@ -27,11 +36,12 @@ tree's bottom-up blend  fresnel*refl + (1-fresnel)*refr  becomes a sum over
 root-to-leaf paths — identical up to f32 summation order.
 
 Capacity: children that find no free bank in their column are DROPPED
-(counted in the returned diagnostics).  The default bank count guarantees
-zero drops for pure reflect/refract scenes at depth <= 3 (pool width at
-level L is at most 2^L); GI scenes get 2*(K+1) extra banks and may drop
-deep, low-weight samples — raise RenderSettings.wavefront_banks to trade
-memory for completeness.
+(counted in the returned diagnostics).  Defaults: GI scenes get the EXACT
+tree width f^D (zero drops — round 3 measured the old heuristic dropping
+10.6 M children on the 15-01 showcase); pure reflect/refract scenes keep
+2^min(D,3) (zero drops at depth <= 3; beyond that the Fresnel tree is
+weight-starved and drops are sub-noise).  ``wavefront_banks`` trades
+completeness for speed.
 
 RNG: a GI parent draws its 2K sampling angles from the per-pixel PCG32
 stream in-order, but children get forked streams (rng.derive) — the
