@@ -843,10 +843,10 @@ def occluded_stream_flat(
     else:
         init_occ = jnp.zeros((tiles, 1, tile_rays), jnp.int32)
 
-    def one_block(start, occ):
-        blk_tile = jax.lax.dynamic_slice_in_dim(pair_tile, start, block)
-        blk_sc = jax.lax.dynamic_slice_in_dim(pair_sc, start, block)
-        blk_valid = jax.lax.dynamic_slice_in_dim(pair_valid, start, block)
+    def one_block(start, occ, cap=block):
+        blk_tile = jax.lax.dynamic_slice_in_dim(pair_tile, start, cap)
+        blk_sc = jax.lax.dynamic_slice_in_dim(pair_sc, start, cap)
+        blk_valid = jax.lax.dynamic_slice_in_dim(pair_valid, start, cap)
         blk_count, blk_perm = _member_runs(
             bounds, blk_tile, blk_sc, tables.cl_min, tables.cl_max, sc,
             apex=apex, apex_slack=apex_slack,
@@ -854,7 +854,7 @@ def occluded_stream_flat(
         blk_count = jnp.where(blk_valid > 0, blk_count, 0)
         out = _launch_stream_occl(
             tables, sc, o_t, d_t, r2_t, occ, blk_tile, blk_sc,
-            blk_count, blk_perm, cap=block, tile_rays=tile_rays,
+            blk_count, blk_perm, cap=cap, tile_rays=tile_rays,
             interpret=interpret,
         )
         touched = (
@@ -863,7 +863,8 @@ def occluded_stream_flat(
         return jnp.where(touched, out, occ)
 
     if nblocks == 1:
-        occ = one_block(jnp.int32(0), init_occ)
+        # single block: grid sized to the pair list, not the block quantum
+        occ = one_block(jnp.int32(0), init_occ, cap=pairs_cap)
     else:
         def cond(state):
             i, _ = state
