@@ -45,7 +45,12 @@ def main(argv=None):
     )
     p.add_argument("output", nargs="?", default="output.ppm")
     p.add_argument("--backend", default="auto",
-                   choices=["auto", "bruteforce", "tree", "pallas"])
+                   choices=["auto", "bruteforce", "tree", "pallas",
+                            "pallas_stream"])
+    p.add_argument("--aov", default="",
+                   choices=["", "bary", "normal", "depth", "tri_id",
+                            "albedo"],
+                   help="render an auxiliary pass instead of beauty")
     p.add_argument("--max-ray-depth", type=int, default=None)
     p.add_argument("--gi-rays", type=int, default=None)
     p.add_argument("--head-compat", action="store_true",
@@ -71,7 +76,8 @@ def main(argv=None):
         )
 
     settings = RenderSettings(backend=args.backend,
-                              head_compat=args.head_compat)
+                              head_compat=args.head_compat,
+                              aov=args.aov)
     if args.max_ray_depth is not None:
         settings = settings.replace(max_ray_depth=args.max_ray_depth)
     if args.gi_rays is not None:

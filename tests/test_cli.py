@@ -57,3 +57,22 @@ def test_cli_bad_scene_exits_nonzero(tmp_path):
     r = run_cli(["/nonexistent.crtscene", str(tmp_path / "x.ppm")])
     assert r.returncode == 1
     assert "Could not parse scene file" in r.stderr
+
+
+def test_cli_aov_flag(tmp_path):
+    """--aov renders the auxiliary pass through the same CLI contract."""
+    import subprocess
+    import sys
+
+    out = tmp_path / "bary.ppm"
+    r = subprocess.run(
+        [sys.executable, "-m", "crt_tpu.frontend.cli",
+         "/root/reference/scenes/09-01-barycentric-coordinates/scene1.crtscene",
+         str(out), "--aov", "bary", "--width", "64", "--height", "36"],
+        capture_output=True, text=True,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "Execution time:" in r.stdout
+    txt = out.read_text()
+    assert txt.startswith("P3\n64 36\n255\n")
