@@ -67,6 +67,9 @@ CLUSTER_UNROLL = int(os.environ.get("CRT_CLUSTER_UNROLL", "4"))
 _SHADOW_CONE = os.environ.get("CRT_SHADOW_CONE", "1") != "0"
 # Projected 2-D wedge refinement (see _apex_wedge_mask).  Occlusion-exact.
 _SHADOW_WEDGE = os.environ.get("CRT_SHADOW_WEDGE", "1") != "0"
+# Tiles per grid step for the DENSE (primary) trace (1 = one tile/step).
+# Amortizes per-step fixed costs without loosening 1024-lane binning.
+_TILE_MERGE = int(os.environ.get("CRT_TILE_MERGE", "1"))
 # Occlusion-specialized shadow kernel (see _occl_kernel_compact).
 # Boolean-identical to closest-hit-then-compare; flag kept for A/B.
 _SHADOW_OCCL_KERNEL = os.environ.get("CRT_SHADOW_OCCL_KERNEL", "1") != "0"
@@ -703,14 +706,22 @@ def _occluded_binned_compact(
 
 
 def _trace_tile_body(count, cluster_list_ref, o_ref, d_ref, n_ref, nv0_ref,
-                     m_ref, c_ref, nobf_ref, tid_ref, rest, emit_k):
+                     m_ref, c_ref, nobf_ref, tid_ref, rest, emit_k,
+                     lane_lo=0, lane_hi=None, cl_row=0):
+    """``lane_lo/lane_hi`` select a static lane window (tile-merged launches
+    pack several tiles' lanes into one block); ``cl_row`` selects the
+    sub-tile's row of a merged cluster-list block."""
     if emit_k:
         rows_ref, best_t_ref, best_tri_ref, best_rows_ref = rest
     else:
         best_t_ref, best_tri_ref = rest
 
-    ox, oy, oz = o_ref[0, 0:1, :], o_ref[0, 1:2, :], o_ref[0, 2:3, :]  # [1,TR]
-    dx, dy, dz = d_ref[0, 0:1, :], d_ref[0, 1:2, :], d_ref[0, 2:3, :]
+    lo = lane_lo
+    hi = o_ref.shape[2] if lane_hi is None else lane_hi
+    ox, oy, oz = (o_ref[0, 0:1, lo:hi], o_ref[0, 1:2, lo:hi],
+                  o_ref[0, 2:3, lo:hi])  # [1, TR]
+    dx, dy, dz = (d_ref[0, 0:1, lo:hi], d_ref[0, 1:2, lo:hi],
+                  d_ref[0, 2:3, lo:hi])
 
     INF = jnp.float32(jnp.inf)
     BIGID = jnp.int32(2**30)
@@ -787,10 +798,10 @@ def _trace_tile_body(count, cluster_list_ref, o_ref, d_ref, n_ref, nv0_ref,
         base = i * CLUSTER_UNROLL
         for k in range(CLUSTER_UNROLL):
             idx = jnp.minimum(base + k, count - 1)
-            carry = one_cluster(cluster_list_ref[0, 0, idx], carry)
+            carry = one_cluster(cluster_list_ref[cl_row, 0, idx], carry)
         return carry
 
-    TR = o_ref.shape[2]
+    TR = hi - lo
     init = (
         jnp.full((1, TR), INF, jnp.float32),
         jnp.full((1, TR), -1, jnp.int32),
@@ -799,10 +810,10 @@ def _trace_tile_body(count, cluster_list_ref, o_ref, d_ref, n_ref, nv0_ref,
         init = init + (jnp.zeros((emit_k, TR), jnp.float32),)
     steps = (count + CLUSTER_UNROLL - 1) // CLUSTER_UNROLL
     out = jax.lax.fori_loop(0, steps, body, init)
-    best_t_ref[0, 0, :] = out[0][0]
-    best_tri_ref[0, 0, :] = out[1][0]
+    best_t_ref[0, 0, lo:hi] = out[0][0]
+    best_tri_ref[0, 0, lo:hi] = out[1][0]
     if emit_k:
-        best_rows_ref[0, :, :] = out[2]
+        best_rows_ref[0, :, lo:hi] = out[2]
 
 
 def _occlusion_kernel(
@@ -1023,6 +1034,129 @@ def _closest_hit_binned(
     return out[0], out[1]
 
 
+def _trace_kernel_merged(
+    counts_ref,  # [tiles] SMEM
+    cluster_list_ref,  # [M, 1, L] SMEM block (tiles i*M .. i*M+M-1)
+    o_ref,  # [1, 3, M*TR] VMEM
+    d_ref,
+    n_ref, nv0_ref, m_ref, c_ref, nobf_ref, tid_ref,
+    *rest,
+    emit_k: int = 0,
+    merge: int = 2,
+    tile_rays: int = TILE_RAYS,
+):
+    """``merge`` tiles per grid step: sub-tile walks run back to back on
+    static lane windows of one fat block, amortizing the per-step fixed
+    cost (sequencing, block revolve, output write-back) that dominates a
+    sparse-cluster-list dense trace (~1.6 clusters/tile on 14-01) — while
+    the BINNING stays at TILE_RAYS granularity, unlike raising TILE_RAYS
+    itself (measured dead: looser frustums)."""
+    if emit_k:
+        rows_ref, best_t_ref, best_tri_ref, best_rows_ref = rest
+    else:
+        best_t_ref, best_tri_ref = rest
+    i = pl.program_id(0)
+    for sub in range(merge):
+        count = counts_ref[i * merge + sub]
+        _trace_tile_body(
+            count, cluster_list_ref, o_ref, d_ref, n_ref, nv0_ref, m_ref,
+            c_ref, nobf_ref, tid_ref,
+            (rows_ref, best_t_ref, best_tri_ref, best_rows_ref) if emit_k
+            else (best_t_ref, best_tri_ref),
+            emit_k,
+            lane_lo=sub * tile_rays, lane_hi=(sub + 1) * tile_rays,
+            cl_row=sub,
+        )
+
+
+def _closest_hit_binned_merged(
+    tables: ClusterTables,
+    o_t: jnp.ndarray,  # [tiles, 3, TR], tiles % merge == 0
+    d_t: jnp.ndarray,
+    cluster_list: jnp.ndarray,  # [tiles, 1, L]
+    counts: jnp.ndarray,  # [tiles]
+    tile_rays: int,
+    interpret: bool,
+    rows_table: jnp.ndarray | None = None,
+    merge: int = 2,
+) -> tuple[jnp.ndarray, ...]:
+    """_closest_hit_binned with ``merge`` tiles per grid step."""
+    tiles = o_t.shape[0]
+    L = tables.n.shape[0]
+    emit_k = 0 if rows_table is None else int(rows_table.shape[2])
+    G = tiles // merge
+    fat = merge * tile_rays
+    o_f = o_t.reshape(G, merge, 3, tile_rays).swapaxes(1, 2).reshape(
+        G, 3, fat
+    )
+    d_f = d_t.reshape(G, merge, 3, tile_rays).swapaxes(1, 2).reshape(
+        G, 3, fat
+    )
+
+    in_specs = [
+        pl.BlockSpec((merge, 1, L), lambda i, c: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 3, fat), lambda i, c: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3, fat), lambda i, c: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # n
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # nv0
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # m
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # c
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # nobf
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # tid
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 1, fat), lambda i, c: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, fat), lambda i, c: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((G, 1, fat), jnp.float32),
+        jax.ShapeDtypeStruct((G, 1, fat), jnp.int32),
+    ]
+    operands = [
+        counts, cluster_list, o_f, d_f,
+        tables.n, tables.nv0, tables.m, tables.c, tables.nobf,
+        tables.tri_id,
+    ]
+    if emit_k:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        operands.append(rows_table)
+        out_specs.append(
+            pl.BlockSpec((1, emit_k, fat), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((G, emit_k, fat), jnp.float32)
+        )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(G,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+    )
+    out = pl.pallas_call(
+        functools.partial(_trace_kernel_merged, emit_k=emit_k, merge=merge,
+                          tile_rays=tile_rays),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*operands)
+
+    def unfat(x):
+        k = x.shape[1]
+        return x.reshape(G, k, merge, tile_rays).swapaxes(1, 2).reshape(
+            tiles, k, tile_rays
+        )
+
+    if emit_k:
+        return unfat(out[0]), unfat(out[1]), unfat(out[2])
+    return unfat(out[0]), unfat(out[1])
+
+
 def _closest_hit_binned_compact(
     tables: ClusterTables,
     o_t: jnp.ndarray,  # [tiles, 3, TR]
@@ -1150,11 +1284,18 @@ def closest_hit_pallas_flat(
 
     o_t = origins.reshape(tiles, tile_rays, 3).swapaxes(1, 2)  # [tiles,3,TR]
     d_t = dirs.reshape(tiles, tile_rays, 3).swapaxes(1, 2)
-    launcher = _closest_hit_binned_compact if compact else _closest_hit_binned
-    out = launcher(
-        tables, o_t, d_t, cluster_list, counts, tile_rays, interpret,
-        rows_table=rows_table,
-    )
+    if not compact and _TILE_MERGE > 1 and tiles % _TILE_MERGE == 0:
+        out = _closest_hit_binned_merged(
+            tables, o_t, d_t, cluster_list, counts, tile_rays, interpret,
+            rows_table=rows_table, merge=_TILE_MERGE,
+        )
+    else:
+        launcher = (_closest_hit_binned_compact if compact
+                    else _closest_hit_binned)
+        out = launcher(
+            tables, o_t, d_t, cluster_list, counts, tile_rays, interpret,
+            rows_table=rows_table,
+        )
     hit = Hit(t=out[0].reshape(-1), tri=out[1].reshape(-1))
     if rows_table is not None:
         kp = rows_table.shape[2]
