@@ -108,18 +108,6 @@ def _tile_bounds(origins, dirs, tile_rays, active):
     return o_lo, o_hi, d_lo, d_hi, jnp.any(a[..., 0], axis=1)
 
 
-def _member_bits(bounds, pair_tile, pair_sc, cl_min, cl_max, sc):
-    """Member-cluster survival bitmask for a SLICE of pairs -> [P] uint32.
-
-    Computed per launch block (not for the whole pair list): the [P, SC, 3]
-    intermediates would be GBs at exact-capacity pair lists."""
-    member = _member_mask(bounds, pair_tile, pair_sc, cl_min, cl_max, sc)
-    weights = (jnp.uint32(1) << jnp.arange(sc, dtype=jnp.uint32))[None]
-    return jnp.sum(
-        jnp.where(member, weights, jnp.uint32(0)), axis=1, dtype=jnp.uint32
-    )
-
-
 def _member_mask(bounds, pair_tile, pair_sc, cl_min, cl_max, sc,
                  apex=None, apex_slack=0.0):
     """[P, SC] bool: which member clusters of each pair overlap its tile.
@@ -243,18 +231,17 @@ def _member_runs(bounds, pair_tile, pair_sc, cl_min, cl_max, sc,
 
 
 def bin_pairs(sc_min, sc_max, origins, dirs, pairs_cap: int,
-              tile_rays: int = TILE_RAYS, active=None, cl_min=None,
-              cl_max=None, apex=None, apex_slack: float = 0.0,
+              tile_rays: int = TILE_RAYS, active=None,
+              apex=None, apex_slack: float = 0.0,
               near_first: bool = False):
     """Phase A: tile-major (tile, supercluster) interaction pairs.
 
-    Returns (pair_tile [P], pair_sc [P], pair_valid [P], total_pairs [],
-    pair_bits [P] uint32).  ``pair_bits`` (when cl_min/cl_max given, the
-    [L2*SC, 3] member-cluster boxes) flags which of the pair's SC_CLUSTERS
-    member clusters actually overlap the tile frustum — superclusters are
-    coarse, so typically only a fraction of members survive; the kernel
-    skips the rest (and the cluster-axis padding, whose inverted boxes
-    never overlap) per bit.  Without boxes, all bits set.
+    Returns (pair_tile [P], pair_sc [P], pair_valid [P], total_pairs []).
+    Member-cluster survival is computed separately PER LAUNCH BLOCK
+    (``_member_runs`` — the [P, SC] intermediates would be GBs at
+    exact-capacity pair lists).  ``apex``: light-side shaft + cone + wedge
+    binning for point-light shadow wavefronts.  ``near_first``: per-tile
+    near-origin-first supercluster order (occlusion early-exit).
     """
     tiles = origins.shape[0] // tile_rays
     o_lo, o_hi, d_lo, d_hi, tile_any = _tile_bounds(
@@ -324,15 +311,7 @@ def bin_pairs(sc_min, sc_max, origins, dirs, pairs_cap: int,
     pair_tile = jnp.where(valid, pair_tile, last_tile)
     pair_sc = jnp.where(valid, pair_sc, last_sc)
 
-    if cl_min is None:
-        pair_bits = jnp.full((pairs_cap,), 0xFFFFFFFF, jnp.uint32)
-    else:
-        sc = cl_min.shape[0] // sc_min.shape[0]
-        pair_bits = _member_bits(
-            (o_lo, o_hi, d_lo, d_hi, tile_any), pair_tile, pair_sc,
-            cl_min, cl_max, sc,
-        )
-    return pair_tile, pair_sc, valid.astype(jnp.int32), total, pair_bits
+    return pair_tile, pair_sc, valid.astype(jnp.int32), total
 
 
 _STREAM_UNROLL = 4  # member clusters tested per loop iteration
@@ -671,7 +650,7 @@ def closest_hit_stream_flat(
 
     if pairs_cap <= block:
         # single-launch fast path (small scenes / tests): tiered switch
-        pair_tile, pair_sc, pair_valid, total, _ = bin_pairs(
+        pair_tile, pair_sc, pair_valid, total = bin_pairs(
             sc_min, sc_max, origins, dirs, pairs_cap, tile_rays, active,
             apex=apex, apex_slack=apex_slack,
         )
@@ -711,7 +690,7 @@ def closest_hit_stream_flat(
         return Hit(t=best_t.reshape(-1), tri=best_tri.reshape(-1)), total
 
     # ---- multi-launch: while_loop over live pair blocks -------------------
-    pair_tile, pair_sc, pair_valid, total, _bits = bin_pairs(
+    pair_tile, pair_sc, pair_valid, total = bin_pairs(
         sc_min, sc_max, origins, dirs, pairs_cap, tile_rays, active,
         apex=apex, apex_slack=apex_slack,
     )
@@ -812,7 +791,7 @@ def occluded_stream_flat(
     sc = tables.n.shape[0] // L2
 
     bounds = _tile_bounds(origins, dirs, tile_rays, active)
-    pair_tile, pair_sc, pair_valid, total, _ = bin_pairs(
+    pair_tile, pair_sc, pair_valid, total = bin_pairs(
         sc_min, sc_max, origins, dirs, pairs_cap, tile_rays, active,
         apex=apex, apex_slack=apex_slack, near_first=True,
     )

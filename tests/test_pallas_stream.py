@@ -51,7 +51,7 @@ def test_bin_pairs_tile_major_and_padded():
         build_cluster_tables(scene)
     )
     cap = 64
-    pt, psc, valid, total, _ = ps.bin_pairs(sc_min, sc_max, o, d, cap, TR)
+    pt, psc, valid, total = ps.bin_pairs(sc_min, sc_max, o, d, cap, TR)
     pt, psc, valid = map(np.asarray, (pt, psc, valid))
     total = int(total)
     assert valid.sum() == min(total, cap)
@@ -62,33 +62,48 @@ def test_bin_pairs_tile_major_and_padded():
         assert (psc[total:] == psc[total - 1]).all()
 
 
-def test_bin_pairs_member_cluster_bits():
+def test_member_runs_live_first_permutation():
+    """_member_runs packs each pair's LIVE members first: counts match the
+    member mask, packed indices are valid, and padding clusters (inverted
+    AABBs) never count as live."""
     scene, o, d = _scene_rays(num_quads=24)
     tables, sc_min, sc_max = ps.build_supercluster_boxes(
         build_cluster_tables(scene)
     )
     L_real = build_cluster_tables(scene).n.shape[0]
+    sc = ps.SC_CLUSTERS
     cap = 1024
-    pt, psc, valid, total, bits = ps.bin_pairs(
-        sc_min, sc_max, o, d, cap, TR,
-        cl_min=tables.cl_min, cl_max=tables.cl_max,
+    pt, psc, valid, total = ps.bin_pairs(sc_min, sc_max, o, d, cap, TR)
+    bounds = ps._tile_bounds(o, d, TR, None)
+    count, perm = ps._member_runs(
+        bounds, pt, psc, tables.cl_min, tables.cl_max, sc
     )
-    bits = np.asarray(bits).astype(np.uint64)
-    psc = np.asarray(psc)
+    member = np.asarray(ps._member_mask(
+        bounds, pt, psc, tables.cl_min, tables.cl_max, sc
+    ))
+    count = np.asarray(count)
     live = np.asarray(valid) > 0
-    # a pair only exists because its supercluster box overlapped, and that
-    # box is the union of member boxes -> at least one member must survive
-    assert (bits[live] != 0).all()
-    # padding clusters carry inverted AABBs and must never set a bit
-    pad = (-L_real) % ps.SC_CLUSTERS
+    np.testing.assert_array_equal(count, member.sum(1))
+    # a pair only exists because its supercluster box overlapped ->
+    # at least one member survives
+    assert (count[live] > 0).all()
+    # unpack the permutation and check the first `count` entries are
+    # exactly the live members
+    W = -(-sc // ps._PERM_PER_WORD)
+    perm = np.asarray(perm).reshape(-1, W).astype(np.uint64)
+    idx = np.arange(sc)
+    words = perm[:, idx // ps._PERM_PER_WORD]
+    shifts = ((idx % ps._PERM_PER_WORD) * ps._PERM_BITS).astype(np.uint64)
+    unpacked = (words >> shifts) & np.uint64(31)
+    for p in np.nonzero(live)[0][:32]:
+        first = unpacked[p, : count[p]].astype(int)
+        assert sorted(first) == sorted(np.nonzero(member[p])[0].tolist())
+    # padding clusters never live
+    pad = (-L_real) % sc
     if pad:
-        last_sc = sc_min.shape[0] - 1
-        real_mask = np.uint64((1 << (ps.SC_CLUSTERS - pad)) - 1)
-        sel = live & (psc == last_sc)
-        assert (bits[sel] & ~real_mask == 0).all()
-    # culling must be non-trivial on a scattered-quads scene
-    full = np.uint64((1 << ps.SC_CLUSTERS) - 1)
-    assert (bits[live] != full).any() or pad > 0
+        last_sc = np.asarray(psc) == sc_min.shape[0] - 1
+        sel = live & last_sc
+        assert (count[sel] <= sc - pad).all()
 
 
 def test_stream_matches_bruteforce_interpret():
@@ -120,7 +135,7 @@ def test_stream_active_mask_and_overflow_report():
         build_cluster_tables(scene)
     )
     # overflow: cap of 1 pair must report the true total
-    _, _, valid, total, _ = ps.bin_pairs(sc_min, sc_max, o, d, 1, TR)
+    _, _, valid, total = ps.bin_pairs(sc_min, sc_max, o, d, 1, TR)
     assert int(total) >= 1
     assert int(np.asarray(valid).sum()) == 1
 

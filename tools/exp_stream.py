@@ -75,14 +75,14 @@ def main(argv):
 
         @jax.jit
         def stats():
-            pt_, ps_, pv_, total, bits = bin_pairs(
+            from crt_tpu.ops.pallas_stream import _member_runs, _tile_bounds
+
+            pt_, ps_, pv_, total = bin_pairs(
                 sc_min, sc_max, origins, dirs, 65536, TILE_RAYS, None,
-                cl_min=tables.cl_min, cl_max=tables.cl_max,
             )
-            # member survival: popcount of live pairs' bitmasks
-            pop = jnp.sum(
-                (bits[:, None] >> jnp.arange(sc, dtype=jnp.uint32)[None])
-                & 1, axis=1,
+            bounds = _tile_bounds(origins, dirs, TILE_RAYS, None)
+            pop, _ = _member_runs(
+                bounds, pt_, ps_, tables.cl_min, tables.cl_max, sc
             )
             live = pv_ > 0
             return total, jnp.sum(jnp.where(live, pop, 0)), jnp.sum(live)
