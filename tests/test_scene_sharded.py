@@ -189,3 +189,22 @@ def test_scene_sharded_grads_refractive_iter(mesh2d):
             np.asarray(grads_sh[k]), np.asarray(grads_1[k]),
             rtol=1e-3, atol=1e-6, err_msg=k,
         )
+
+
+def test_scene_sharded_gi_grow_matches_single_device(mesh2d):
+    """GI through the partitioned path exercises the bank-GROWTH schedule
+    inside shard_map (pool pads must be pcast to the mesh's varying axes):
+    radiance must match the single-device render bit-for-bit (same forked
+    PCG streams, same placement)."""
+    import jax.numpy as jnp  # noqa: F401
+
+    scene = make_test_scene(width=32, height=16, num_quads=5).replace(
+        gi_on=True
+    )
+    single = np.asarray(render_image(
+        scene, RenderSettings(backend="bruteforce", max_ray_depth=2)
+    ))
+    sharded = np.asarray(render_image_scene_sharded(
+        scene, RenderSettings(max_ray_depth=2), mesh2d
+    ))
+    np.testing.assert_array_equal(sharded, single)
