@@ -628,19 +628,20 @@ def _occl_kernel_compact(
 
 def _occluded_binned_compact(
     tables: ClusterTables,
-    o_t: jnp.ndarray,  # [tiles, 3, TR]
+    o_t: jnp.ndarray,  # [tiles, 3, TR] (or [tile_mod, 3, TR])
     d_t: jnp.ndarray,
     r2_t: jnp.ndarray,  # [tiles, 1, TR]
     cluster_list: jnp.ndarray,  # [tiles, 1, L]
     counts: jnp.ndarray,  # [tiles]
     tile_rays: int,
     interpret: bool,
+    tile_mod: int | None = None,
 ) -> jnp.ndarray:
     """Live-tile-compacted occlusion launch -> blocked [tiles, 1, TR] bool.
 
     Same tiering as _closest_hit_binned_compact; unvisited tiles are
     unoccluded by construction (count == 0 -> no cluster can block)."""
-    tiles = o_t.shape[0]
+    tiles = counts.shape[0]  # o_t may be tile_mod-shrunk
     L = tables.n.shape[0]
 
     live = counts > 0
@@ -649,6 +650,10 @@ def _occluded_binned_compact(
     step = jnp.arange(tiles, dtype=jnp.int32)
     tile_ids = order[jnp.minimum(step, jnp.maximum(n_live - 1, 0))]
     nlive_arr = n_live.reshape(1)
+    if tile_mod:
+        o_map = lambda i, nl, ts, c: (ts[i] % tile_mod, 0, 0)
+    else:
+        o_map = lambda i, nl, ts, c: (ts[i], 0, 0)
 
     def launch(cap):
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -657,8 +662,7 @@ def _occluded_binned_compact(
             in_specs=[
                 pl.BlockSpec((1, 1, L), lambda i, nl, ts, c: (ts[i], 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 3, tile_rays),
-                             lambda i, nl, ts, c: (ts[i], 0, 0),
+                pl.BlockSpec((1, 3, tile_rays), o_map,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 3, tile_rays),
                              lambda i, nl, ts, c: (ts[i], 0, 0),
@@ -1008,6 +1012,12 @@ def _closest_hit_binned(
     if emit_k:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # rows
         operands.append(rows_table)
+        # NOTE: a [emit_k, tiles, TR] rows layout would make the consumer's
+        # [Kp, R] reshape free (saving a ~1 ms transpose, round-3
+        # profiler), but Mosaic requires block second-minor dims to be
+        # multiples of 8 or equal to the array dim — per-tile blocks of a
+        # tiles-second-minor array are illegal.  Measured constraint, not
+        # a choice.
         out_specs.append(
             pl.BlockSpec((1, emit_k, tile_rays), lambda i, c: (i, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -1159,13 +1169,14 @@ def _closest_hit_binned_merged(
 
 def _closest_hit_binned_compact(
     tables: ClusterTables,
-    o_t: jnp.ndarray,  # [tiles, 3, TR]
+    o_t: jnp.ndarray,  # [tiles, 3, TR] (or [tile_mod, 3, TR], see below)
     d_t: jnp.ndarray,
     cluster_list: jnp.ndarray,  # [tiles, 1, L] i32
     counts: jnp.ndarray,  # [tiles] i32
     tile_rays: int,
     interpret: bool,
     rows_table: jnp.ndarray | None = None,
+    tile_mod: int | None = None,
 ) -> tuple[jnp.ndarray, ...]:
     """_closest_hit_binned with LIVE-TILE compaction: sparse wavefronts
     (shadow tiles are ~85 % dead on the course benchmark — zero clusters
@@ -1176,7 +1187,7 @@ def _closest_hit_binned_compact(
     live count — dead tiles beyond it are never sequenced at all.  Tiles
     the kernel never visits are misses by construction (count == 0) and
     are masked outside.  Bit-identical to the plain launch."""
-    tiles = o_t.shape[0]
+    tiles = counts.shape[0]  # o_t may be tile_mod-shrunk
     L = tables.n.shape[0]
     emit_k = 0 if rows_table is None else int(rows_table.shape[2])
 
@@ -1189,12 +1200,19 @@ def _closest_hit_binned_compact(
     step = jnp.arange(tiles, dtype=jnp.int32)
     tile_ids = order[jnp.minimum(step, jnp.maximum(n_live - 1, 0))]
     nlive_arr = n_live.reshape(1)
+    # tile_mod: a shadow wavefront's per-light origin tiles are IDENTICAL —
+    # o_t then has only tiles/Ll rows and the index map wraps, skipping the
+    # Ll-fold broadcast materialization + transpose in HBM
+    if tile_mod:
+        o_map = lambda i, nl, ts, c: (ts[i] % tile_mod, 0, 0)
+    else:
+        o_map = lambda i, nl, ts, c: (ts[i], 0, 0)
 
     def launch(cap):
         in_specs = [
             pl.BlockSpec((1, 1, L), lambda i, nl, ts, c: (ts[i], 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 3, tile_rays), lambda i, nl, ts, c: (ts[i], 0, 0),
+            pl.BlockSpec((1, 3, tile_rays), o_map,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, tile_rays), lambda i, nl, ts, c: (ts[i], 0, 0),
                          memory_space=pltpu.VMEM),
@@ -1536,8 +1554,12 @@ def make_pallas_trace_fn(scene, tile_rays: int | None = None,
             apex=apex,
             apex_slack=origin_slack,
         )
-        o_t = jax.lax.stop_gradient(o_flat).reshape(
-            tiles, st, 3
+        # per-light origin tiles are identical: keep ONE pixel-tile copy
+        # and let the launcher's index map wrap (skips materializing the
+        # Ll-fold broadcast + its 8M-lane transpose in HBM)
+        tpl = R // st
+        o_t = jax.lax.stop_gradient(shadow_o).reshape(
+            tpl, st, 3
         ).swapaxes(1, 2)
         d_t = jax.lax.stop_gradient(d_flat).reshape(
             tiles, st, 3
@@ -1549,11 +1571,13 @@ def make_pallas_trace_fn(scene, tile_rays: int | None = None,
             # tie-break reduction, tid DMA and one output buffer.
             r2_t = r2_flat.reshape(tiles, 1, st)
             occ = _occluded_binned_compact(
-                tables, o_t, d_t, r2_t, cluster_list, counts, st, interpret
+                tables, o_t, d_t, r2_t, cluster_list, counts, st, interpret,
+                tile_mod=tpl,
             )
             return occ.reshape(Ll, R)
         best_t, best_tri = _closest_hit_binned_compact(
-            tables, o_t, d_t, cluster_list, counts, st, interpret
+            tables, o_t, d_t, cluster_list, counts, st, interpret,
+            tile_mod=tpl,
         )
         sh_t = best_t.reshape(-1)
         occ = (best_tri.reshape(-1) >= 0) & (sh_t * sh_t <= r2_flat)

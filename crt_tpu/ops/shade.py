@@ -352,7 +352,19 @@ def _occlusion_masks(scene, trace_fn, point, normal, light_positions,
     Returns (illuminated [Ll, R] bool, light_dir [Ll, R, 3], r2 [Ll, R]).
     """
     Ll = light_positions.shape[0]
-    light_vec = light_positions[:, None, :] - point[None]  # [Ll, R, 3]
+    R_px = point.shape[0] if point.ndim == 2 else None
+    if R_px is not None:
+        # Build FLAT-major [Ll*R, 3] first and view as [Ll, R, 3] (a free
+        # contiguous reshape): producing [Ll, R, 3] first made XLA pick a
+        # T(4,128)-tiled layout whose later flatten for the trace cost a
+        # ~1 ms 200 MB retile per frame (round-3 profiler, reshape.293).
+        lv_flat = (
+            jnp.repeat(light_positions, R_px, axis=0)
+            - jnp.tile(point, (Ll, 1))
+        )  # [Ll*R, 3]
+        light_vec = lv_flat.reshape(Ll, R_px, 3)
+    else:
+        light_vec = light_positions[:, None, :] - point[None]  # [Ll, R, 3]
     r2 = vecmath.length_squared(light_vec)
     light_dir = vecmath.safe_normalize(light_vec)
     if no_shadows:
