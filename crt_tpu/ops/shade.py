@@ -333,6 +333,99 @@ def _hadamard(albedo, color, hadamard_y: bool):
     return out
 
 
+def _light_lum_primal(point, normal, light_positions, light_intensity, ill):
+    """Direct-lighting radiance weights ``lum`` [*R]: per crt_renderer.cpp:81-96,
+    sum_l ill_l * intensity_l / (4 pi r_l^2) * max(0, dir_l . normal).
+
+    Bit-identical to the inline chain it replaces (same ops, same order:
+    light_vec -> r2 -> safe_normalize -> cos_law -> masked light sum).
+    """
+    Ll = light_positions.shape[0]
+    lead = (Ll,) + (1,) * (point.ndim - 1)
+    light_vec = light_positions.reshape(lead + (3,)) - point[None]
+    r2 = vecmath.length_squared(light_vec)  # [Ll, *R]
+    light_dir = vecmath.safe_normalize(light_vec)
+    cos_law = jnp.maximum(0.0, vecmath.dot(light_dir, normal[None]))
+    sphere_area = 4.0 * _PI * r2
+    return jnp.sum(
+        jnp.where(
+            ill, light_intensity.reshape(lead) / sphere_area * cos_law, 0.0
+        ),
+        axis=0,
+    )
+
+
+@jax.custom_vjp
+def _light_lum(point, normal, light_positions, light_intensity, ill):
+    return _light_lum_primal(point, normal, light_positions, light_intensity,
+                             ill)
+
+
+def _ll_fwd(point, normal, light_positions, light_intensity, ill):
+    out = _light_lum_primal(point, normal, light_positions, light_intensity,
+                            ill)
+    # Residuals are the [*R, 3] inputs only — the autodiff residuals this
+    # replaces include the [Ll, *R, 3] normalized direction plus several
+    # [Ll, *R] scalars (~5x the HBM traffic at Ll=4).
+    return out, (point, normal, light_positions, light_intensity, ill)
+
+
+def _ll_bwd(res, g):
+    point, normal, light_positions, light_intensity, ill = res
+    eps = 1e-20  # safe_normalize's guard
+    d_point = jnp.zeros_like(point)
+    d_normal = jnp.zeros_like(normal)
+    d_lp = []
+    d_li = []
+    # Static python loop over lights: each iteration's temporaries are
+    # [*R](,3) fused elementwise chains — nothing [Ll, *R, 3] materializes.
+    for l in range(light_positions.shape[0]):
+        v = light_positions[l] - point  # [*R, 3]
+        r2 = vecmath.length_squared(v)
+        r2s = jnp.maximum(r2, eps)
+        inv = jnp.where(r2 > eps, 1.0 / jnp.sqrt(r2s), 0.0)
+        c_raw = vecmath.dot(v, normal) * inv  # == dot(dir, normal)
+        # Lanes with cos<=0, unlit, or degenerate r2 contribute zero to lum
+        # AND to every gradient (max(0,.) clamps; safe_normalize zeroes).
+        pos = ill[l] & (c_raw > 0.0) & (r2 > eps)
+        w = jnp.where(pos, light_intensity[l] / (4.0 * _PI * r2s), 0.0)
+        gw = g * w  # [*R], zero off-mask
+        # lum_l = k (v.n) r2^{-3/2}:  d/dn = k r2^{-3/2} v = gw inv v;
+        # d/dv = gw inv n - 3 gw c_raw / r2 v;  d/dpoint = -d/dv.
+        d_normal = d_normal + (gw * inv)[..., None] * v
+        dv = (gw * inv)[..., None] * normal \
+            - (3.0 * gw * c_raw / r2s)[..., None] * v
+        d_point = d_point - dv
+        d_lp.append(jnp.sum(dv.reshape(-1, 3), axis=0))
+        d_li.append(jnp.sum(
+            jnp.where(pos, g * c_raw / (4.0 * _PI * r2s), 0.0)
+        ))
+    return (d_point, d_normal, jnp.stack(d_lp),
+            jnp.stack(d_li).astype(light_intensity.dtype), None)
+
+
+_light_lum.defvjp(_ll_fwd, _ll_bwd)
+
+
+def light_lum(point, normal, light_positions, light_intensity, illuminated):
+    """Fused-VJP direct-lighting radiance sum (see RenderSettings.fused_light_vjp).
+
+    shard_map-safe: the replicated light tables are cast to vary over the
+    ray mesh axes so the per-device partial gradients type-check; the
+    cast's transpose is the cross-device psum (pallas_segsum._match_varying).
+    """
+    from crt_tpu.ops.pallas_segsum import _match_varying, _vma_of
+
+    tv = _vma_of(point)
+    return _light_lum(
+        point,
+        normal,
+        _match_varying(light_positions, tv),
+        _match_varying(light_intensity, tv),
+        illuminated,
+    )
+
+
 def _occlusion_masks(scene, trace_fn, point, normal, light_positions,
                      shadow_bias, no_shadows, shadow_active,
                      max_ray_depth=3, refraction_bias=1e-2, rows_fn=None):
@@ -756,20 +849,24 @@ def _shade_level(scene, settings, trace_fn, origins, dirs, depth, rng, active,
             refraction_bias=settings.refraction_bias,
             rows_fn=rows_fn,
         )  # [Ll, R](, 3)
-        cos_law = jnp.maximum(0.0, vecmath.dot(light_dir, normal[None]))
-        sphere_area = 4.0 * _PI * r2
         # albedo is light-invariant, so sum the scalar radiance weights over
         # lights first ([Ll, R]) and multiply by albedo once — 3x less HBM
         # on the widest shading tensors (fwd AND bwd) than materializing
         # [Ll, R, 3] per-light contributions.
-        lum = jnp.sum(
-            jnp.where(
-                illuminated,
-                scene.light_intensity[:, None] / sphere_area * cos_law,
-                0.0,
-            ),
-            axis=0,
-        )  # [R]
+        if settings.fused_light_vjp:
+            lum = light_lum(point, normal, scene.light_position,
+                            scene.light_intensity, illuminated)  # [R]
+        else:
+            cos_law = jnp.maximum(0.0, vecmath.dot(light_dir, normal[None]))
+            sphere_area = 4.0 * _PI * r2
+            lum = jnp.sum(
+                jnp.where(
+                    illuminated,
+                    scene.light_intensity[:, None] / sphere_area * cos_law,
+                    0.0,
+                ),
+                axis=0,
+            )  # [R]
         diffuse_color = diffuse_color + albedo * lum[..., None]
 
     if settings.gi_divide:

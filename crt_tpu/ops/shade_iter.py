@@ -61,7 +61,12 @@ import jax.numpy as jnp
 
 from crt_tpu.ops import rng as rng_mod
 from crt_tpu.ops import vecmath
-from crt_tpu.ops.shade import _hadamard, _occlusion_masks, hit_attributes
+from crt_tpu.ops.shade import (
+    _hadamard,
+    _occlusion_masks,
+    hit_attributes,
+    light_lum,
+)
 from crt_tpu.ops.texture import sample_textures
 from crt_tpu.scene.types import (
     MATERIAL_CONSTANT,
@@ -290,20 +295,26 @@ def shade_wavefront_iter_with_stats(
                 refraction_bias=settings.refraction_bias,
                 rows_fn=rows_fn,
             )
-            cos_law = jnp.maximum(
-                0.0, vecmath.dot(light_dir, attrs.normal[None])
-            )
-            sphere_area = 4.0 * _PI * r2
             # albedo factored out of the light sum (see shade.py): the
             # per-light accumulation runs on [Ll, R] scalars, not [Ll, R, 3].
-            lum = jnp.sum(
-                jnp.where(
-                    illuminated,
-                    scene.light_intensity[:, None] / sphere_area * cos_law,
-                    0.0,
-                ),
-                axis=0,
-            )
+            if settings.fused_light_vjp:
+                lum = light_lum(
+                    attrs.point, attrs.normal, scene.light_position,
+                    scene.light_intensity, illuminated,
+                )
+            else:
+                cos_law = jnp.maximum(
+                    0.0, vecmath.dot(light_dir, attrs.normal[None])
+                )
+                sphere_area = 4.0 * _PI * r2
+                lum = jnp.sum(
+                    jnp.where(
+                        illuminated,
+                        scene.light_intensity[:, None] / sphere_area * cos_law,
+                        0.0,
+                    ),
+                    axis=0,
+                )
             direct = albedo * lum[..., None]
             contrib = jnp.where(
                 is_diffuse[..., None], direct * gi_scale, contrib

@@ -207,6 +207,7 @@ _SETTINGS_FIELDS = (
     "compact_bounces",
     "shadow_tile_rays",
     "aov",
+    "fused_light_vjp",
 )
 
 
@@ -296,6 +297,14 @@ class RenderSettings:
     # 'pallas' backend only; other backends have no shadow-specific tile
     # grid and ignore it (renderer.make_trace_fn warns when set).
     shadow_tile_rays: int = 0
+    # Hand-written VJP for the direct-lighting radiance sum (ops/shade.py
+    # light_lum): the backward recomputes the per-light chain analytically
+    # from (point, normal) instead of storing the autodiff residuals of the
+    # [Ll, R](,3) light tensors.  Forward values are bit-identical (same op
+    # order); gradients match autodiff to f32 roundoff
+    # (tests/test_fused_light.py).  Escape hatch only — no known reason to
+    # disable.
+    fused_light_vjp: bool = True
     # Auxiliary output pass instead of the beauty render: "" (beauty),
     # "bary" (the 09-01 course visualization, crt_intersection.cpp:73-74),
     # "normal", "depth", "tri_id", "albedo".  First-class so golden
