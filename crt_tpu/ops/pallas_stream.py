@@ -58,6 +58,25 @@ from crt_tpu.ops.pallas_trace import (
 SC_CLUSTERS = 32  # default clusters per supercluster (32 x 16 = 512 tris)
 
 
+def _vma_of(x) -> frozenset:
+    """Varying-manual-axes of ``x`` under shard_map (empty outside)."""
+    try:
+        return frozenset(getattr(jax.typeof(x), "vma", None) or ())
+    except TypeError:
+        return frozenset()
+
+
+def _out_vma(*xs) -> frozenset:
+    """Union vma over the launch inputs — inside shard_map (the
+    scene-partitioned path runs this kernel per table shard) the out_shape
+    aval must name the mesh axes the output varies over; a bare
+    ShapeDtypeStruct has vma=None, which the manual-axes checker rejects."""
+    out = frozenset()
+    for x in xs:
+        out |= _vma_of(x)
+    return out
+
+
 def build_supercluster_boxes(tables: ClusterTables,
                              sc_clusters: int = SC_CLUSTERS):
     """Pad the cluster axis to ``sc_clusters`` and build supercluster AABBs.
@@ -537,10 +556,13 @@ def _launch_stream_occl(tables, sc, o_t, d_t, r2_t, prev_occ, pair_tile,
                          lambda p, pt, ps, pc, pm: (pt[p], 0, 0)),
         ],
     )
+    vma = _out_vma(o_t, d_t, r2_t, prev_occ, pair_tile, *tables)
     (occ,) = pl.pallas_call(
         _stream_occl_kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((tiles, 1, tile_rays), jnp.int32)],
+        out_shape=[
+            jax.ShapeDtypeStruct((tiles, 1, tile_rays), jnp.int32, vma=vma)
+        ],
         interpret=interpret,
     )(
         pair_tile[:cap], pair_sc[:cap], pair_count[:cap],
@@ -580,12 +602,14 @@ def _launch_stream_kernel(tables, sc, o_t, d_t, pair_tile, pair_sc,
                          lambda p, pt, ps, pc, pm: (pt[p], 0, 0)),
         ],
     )
+    vma = _out_vma(o_t, d_t, pair_tile, *tables)
     return pl.pallas_call(
         _stream_kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((tiles, 1, tile_rays), jnp.float32),
-            jax.ShapeDtypeStruct((tiles, 1, tile_rays), jnp.int32),
+            jax.ShapeDtypeStruct((tiles, 1, tile_rays), jnp.float32,
+                                 vma=vma),
+            jax.ShapeDtypeStruct((tiles, 1, tile_rays), jnp.int32, vma=vma),
         ],
         interpret=interpret,
     )(

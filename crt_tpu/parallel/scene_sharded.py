@@ -31,6 +31,7 @@ SURVEY.md §5 "long-context" requirement; no reference equivalent exists
 from __future__ import annotations
 
 import functools
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -40,6 +41,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from crt_tpu.ops import camera as camera_ops
 from crt_tpu.ops.intersect import Hit
 from crt_tpu.ops.pallas_trace import (
+    TILE_RAYS,
     ClusterTables,
     build_cluster_tables,
     closest_hit_pallas_flat,
@@ -115,17 +117,166 @@ def build_partitioned_tables(scene: Scene, mesh: Mesh, scene_axis: str):
     return tables, packed, shard_tris
 
 
+def shard_tables_fit_vmem(local_tables: ClusterTables,
+                          budget_bytes: int = 12 << 20) -> bool:
+    """Does one device's cluster-table SHARD fit the VMEM-resident kernel?
+
+    Same 17-f32-per-triangle-slot accounting as the flat renderer's guard
+    (crt_tpu.renderer._pallas_tables_fit_vmem) applied to the local shard.
+    """
+    slots = local_tables.n.shape[0] * local_tables.n.shape[1]
+    return slots * 17 * 4 <= budget_bytes
+
+
+def _resolve_shard_backend(local_tables: ClusterTables, backend: str,
+                           vmem_budget_bytes: int) -> str:
+    """Shard-local backend policy (mirrors renderer.make_trace_fn).
+
+    "auto": VMEM-resident Pallas kernel while the SHARD's tables fit VMEM,
+    else the HBM-streaming kernel — the partitioned path's reason to exist
+    is scenes whose *shards* are still big (>VMEM per device), so the same
+    cliff guard the flat renderer has applies per shard.  Forcing "pallas"
+    past the budget warns and falls back instead of hitting a Mosaic VMEM
+    OOM inside shard_map.
+    """
+    fits = shard_tables_fit_vmem(local_tables, vmem_budget_bytes)
+    if backend == "auto":
+        if jax.default_backend() in ("tpu", "axon"):
+            return "pallas" if fits else "pallas_stream"
+        return "tables"
+    if backend == "pallas" and not fits:
+        slots = local_tables.n.shape[0] * local_tables.n.shape[1]
+        warnings.warn(
+            f"scene shard's cluster tables ({slots * 17 * 4} bytes) exceed "
+            f"the VMEM budget ({vmem_budget_bytes}); falling back to the "
+            f"HBM-streaming kernel (local_backend='pallas_stream')",
+            stacklevel=3,
+        )
+        return "pallas_stream"
+    return backend
+
+
+def _make_partitioned_stream_fn(local_tables: ClusterTables, scene_axis: str,
+                                tile_rays: int | None = None,
+                                sc_clusters: int | None = None,
+                                interpret: bool | None = None):
+    """Partitioned trace through the HBM-STREAMING kernel — the >VMEM(/HBM)
+    regime: each device streams its table shard's supercluster slices
+    HBM->VMEM (ops/pallas_stream) and partial hits pmin-combine across the
+    scene axis.  Composes the long-context axis with the big-scene kernel:
+    a scene too large for ONE chip's HBM renders from N shards each of
+    which only ever stages ~34 KB of geometry in VMEM per grid step.
+
+    Shadow wavefronts get the same apex (light-side shaft + cone + wedge)
+    binning as the single-device stream path; per-shard occlusion bits
+    OR-combine (pmax) across the scene axis.
+    """
+    from crt_tpu.ops import pallas_stream as ps
+
+    tile_rays = tile_rays or TILE_RAYS
+    sc = sc_clusters or ps.SC_CLUSTERS
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if interpret is None:
+        interpret = not on_tpu
+    # Off-TPU the kernel cannot run under shard_map at all: the Pallas HLO
+    # interpreter cannot eval kernels whose operands carry varying manual
+    # axes (same constraint as pallas_segsum._segment_accumulate_xla) — so
+    # CPU-mesh tests evaluate the stream SEMANTICS through the XLA table
+    # oracle over the identical padded shard tables, while the kernel
+    # itself is interpret-parity-gated single-device
+    # (tests/test_pallas_stream.py) and runs for real on TPU.
+    use_oracle = interpret
+    tables, sc_min, sc_max = ps.build_supercluster_boxes(local_tables, sc)
+
+    def trace(origins, dirs, active=None):
+        batch_shape = origins.shape[:-1]
+        o = jax.lax.stop_gradient(origins).reshape(-1, 3)
+        d = jax.lax.stop_gradient(dirs).reshape(-1, 3)
+        R = o.shape[0]
+        pad = (-R) % tile_rays
+        if pad:
+            o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+            dpad = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]], d.dtype),
+                            (pad, 1))
+            d = jnp.concatenate([d, dpad])
+        if active is not None:
+            a = jax.lax.stop_gradient(active).reshape(-1)
+            if pad:
+                a = jnp.concatenate([a, jnp.zeros((pad,), bool)])
+        else:
+            a = jnp.concatenate(
+                [jnp.ones((R,), bool), jnp.zeros((pad,), bool)]
+            ) if pad else None
+        if use_oracle:
+            hit = closest_hit_tables(tables, o, d)
+        else:
+            hit, _ = ps.closest_hit_stream_flat(
+                tables, sc_min, sc_max, o, d, a,
+                tile_rays=tile_rays, interpret=False,
+            )
+        local = Hit(
+            t=hit.t[:R].reshape(batch_shape),
+            tri=hit.tri[:R].reshape(batch_shape),
+        )
+        return _combine_hits_across(scene_axis, local)
+
+    def shadow_apex(shadow_o, light_dirs, r2, light_positions, active,
+                    origin_slack):
+        """[Ll, R] occlusion with apex shadow binning per shard; bits
+        OR-combine across the scene axis (a lane is shadowed iff ANY shard
+        holds a blocker)."""
+        Ll, R = r2.shape
+        if use_oracle or R % tile_rays:
+            sh = trace(
+                jnp.broadcast_to(shadow_o[None], (Ll, R, 3)).reshape(-1, 3),
+                light_dirs.reshape(-1, 3),
+                jax.lax.stop_gradient(active).reshape(-1),
+            )  # already pmin-combined across shards
+            sh_t = jax.lax.stop_gradient(sh.t)
+            occ = (sh.tri >= 0) & (sh_t * sh_t <= r2.reshape(-1))
+            return occ.reshape(Ll, R)
+        o_flat = jnp.broadcast_to(
+            jax.lax.stop_gradient(shadow_o)[None], (Ll, R, 3)
+        ).reshape(-1, 3)
+        d_flat = jax.lax.stop_gradient(light_dirs).reshape(-1, 3)
+        a_flat = jax.lax.stop_gradient(active).reshape(-1)
+        apex = jnp.repeat(
+            jax.lax.stop_gradient(light_positions), R // tile_rays, axis=0
+        )
+        r2_flat = jax.lax.stop_gradient(r2).reshape(-1)
+        occ = ps.occluded_stream_flat(
+            tables, sc_min, sc_max, o_flat, d_flat, r2_flat, a_flat,
+            apex, jnp.float32(origin_slack),
+            tile_rays=tile_rays, interpret=interpret,
+        )
+        occ = jax.lax.pmax(occ.astype(jnp.int32), scene_axis) > 0
+        return occ.reshape(Ll, R)
+
+    trace.shadow_apex = shadow_apex
+    return trace
+
+
 def make_partitioned_trace_fn(local_tables: ClusterTables, scene_axis: str,
-                              backend: str = "auto"):
+                              backend: str = "auto",
+                              vmem_budget_bytes: int = 12 << 20,
+                              stream_tile_rays: int | None = None,
+                              sc_clusters: int | None = None,
+                              stream_interpret: bool | None = None):
     """trace_fn over a LOCAL cluster-table shard + pmin combine.
 
     Must be called inside shard_map.  ``active`` masks feed the Pallas
     binning (dead tiles cost nothing); cluster tri_ids are global, so no
-    id translation is needed.
+    id translation is needed.  Backends: "pallas" (VMEM-resident cluster
+    kernel), "pallas_stream" (HBM-streaming supercluster kernel — shards
+    beyond the per-device VMEM budget), "tables" (XLA oracle, CPU tests);
+    "auto" picks per the shard-size VMEM guard.
     """
-    if backend == "auto":
-        backend = (
-            "pallas" if jax.default_backend() in ("tpu", "axon") else "tables"
+    backend = _resolve_shard_backend(local_tables, backend,
+                                     vmem_budget_bytes)
+    if backend == "pallas_stream":
+        return _make_partitioned_stream_fn(
+            local_tables, scene_axis, tile_rays=stream_tile_rays,
+            sc_clusters=sc_clusters, interpret=stream_interpret,
         )
 
     def trace(origins, dirs, active=None):
@@ -186,6 +337,9 @@ def render_image_scene_sharded(
     rays_axis: str = "rays",
     scene_axis: str = "scene",
     local_backend: str = "auto",
+    vmem_budget_bytes: int = 12 << 20,
+    stream_tile_rays: int | None = None,
+    sc_clusters: int | None = None,
 ) -> jnp.ndarray:
     """Forward render on a 2-D ("rays", "scene") mesh with the scene's
     per-triangle state physically partitioned over ``scene_axis``.
@@ -193,6 +347,9 @@ def render_image_scene_sharded(
     Pixel rows are sharded over ``rays_axis``; intersection + shading
     constants are sharded over ``scene_axis`` (see module docstring).
     Output matches the single-device render up to f32 reduction order.
+    Shards beyond ``vmem_budget_bytes`` of cluster tables route through the
+    HBM-streaming kernel (``local_backend="pallas_stream"``) — the >VMEM
+    regime the partitioning exists for.
     """
     settings = settings or RenderSettings()
     if mesh is None:
@@ -224,7 +381,9 @@ def render_image_scene_sharded(
             scene_rep.cam_tan_half_fov, w, h, rx, ry,
         )
         trace_fn = make_partitioned_trace_fn(
-            tables_local, scene_axis, local_backend
+            tables_local, scene_axis, local_backend,
+            vmem_budget_bytes=vmem_budget_bytes,
+            stream_tile_rays=stream_tile_rays, sc_clusters=sc_clusters,
         )
         rows_fn = make_partitioned_rows_fn(
             packed_local, shard_tris, scene_axis
@@ -273,6 +432,9 @@ def scene_sharded_value_and_grad(
     rays_axis: str = "rays",
     scene_axis: str = "scene",
     local_backend: str = "auto",
+    vmem_budget_bytes: int = 12 << 20,
+    stream_tile_rays: int | None = None,
+    sc_clusters: int | None = None,
 ):
     """L2 loss + scene-parameter gradients on the 2-D (rays x scene) mesh.
 
@@ -341,7 +503,9 @@ def scene_sharded_value_and_grad(
                 w, h, rx, ry,
             )
             trace_fn = make_partitioned_trace_fn(
-                tables_local, scene_axis, local_backend
+                tables_local, scene_axis, local_backend,
+                vmem_budget_bytes=vmem_budget_bytes,
+                stream_tile_rays=stream_tile_rays, sc_clusters=sc_clusters,
             )
             rows_fn = make_partitioned_rows_fn(
                 packed_local, shard_tris, scene_axis
