@@ -50,16 +50,43 @@ def run_golden():
     )
 
 
-def run_bench():
+BENCH_SESSIONS = 3  # remote-relay session variance is 2-3 % — publish a band
+
+
+def _median(xs):
+    xs = sorted(xs)
+    n = len(xs)
+    return xs[n // 2] if n % 2 else 0.5 * (xs[n // 2 - 1] + xs[n // 2])
+
+
+def run_bench(sessions: int = BENCH_SESSIONS):
+    """Run bench.py in ``sessions`` separate processes and publish the
+    MEDIAN with the min-max band.  The remote relay's session-to-session
+    variance is ~2-3 % (docs/PERFORMANCE.md), so a single session's number
+    can read as a regression against the driver's BENCH_r*.json record —
+    the band makes the publication honest about that spread."""
     os.makedirs(RESULTS, exist_ok=True)
-    out = subprocess.run(
-        [sys.executable, os.path.join(ROOT, "bench.py")],
-        check=True, cwd=ROOT, capture_output=True, text=True,
-    ).stdout
-    line = [l for l in out.splitlines() if l.strip().startswith("{")][-1]
+    runs = []
+    for k in range(sessions):
+        out = subprocess.run(
+            [sys.executable, os.path.join(ROOT, "bench.py")],
+            check=True, cwd=ROOT, capture_output=True, text=True,
+        ).stdout
+        line = [l for l in out.splitlines() if l.strip().startswith("{")][-1]
+        runs.append(json.loads(line))
+        print(f"session {k + 1}/{sessions}: {line}")
+    bench = dict(runs[0])
+    for key in ("value", "vs_baseline", "fwd_bwd_mrays",
+                "fwd_bwd_vs_baseline"):
+        if key in runs[0]:
+            vals = [r[key] for r in runs]
+            bench[key] = round(_median(vals), 3)
+            bench[f"{key}_band"] = [round(min(vals), 3), round(max(vals), 3)]
+    bench["sessions"] = len(runs)
     with open(BENCH_JSON, "w") as f:
-        f.write(line + "\n")
-    print(line)
+        json.dump(bench, f)
+        f.write("\n")
+    print(json.dumps(bench))
 
 
 def _replace_block(text: str, marker: str, body: str) -> str:
@@ -94,13 +121,21 @@ def golden_table(sweep: list) -> str:
     return "\n".join(out) + "\n"
 
 
+def _band(bench: dict, key: str) -> str:
+    lo, hi = bench.get(f"{key}_band", (bench[key], bench[key]))
+    if hi - lo < 0.05:
+        return ""
+    return f", {lo:.1f}–{hi:.1f} over {bench.get('sessions', 1)} sessions"
+
+
 def bench_table(bench: dict) -> str:
     fwd_mrays = bench["value"]
     fwd_ms = 1920 * 1080 / fwd_mrays / 1e3
     rows = [
-        "| Metric | crt_tpu | Reference CPU | Ratio |",
+        "| Metric | crt_tpu (median of sessions) | Reference CPU | Ratio |",
         "|---|---|---|---|",
-        f"| Forward render | {fwd_ms:.1f} ms (**{fwd_mrays:.1f} Mrays/s**) "
+        f"| Forward render | {fwd_ms:.1f} ms (**{fwd_mrays:.1f} Mrays/s**"
+        f"{_band(bench, 'value')}) "
         f"| 67.0 ms (31.0 Mrays/s) | **{bench['vs_baseline']:.2f}×** |",
     ]
     if "fwd_bwd_mrays" in bench:
@@ -108,7 +143,8 @@ def bench_table(bench: dict) -> str:
         fb_ms = 1920 * 1080 / fb / 1e3
         rows.append(
             f"| Forward + backward (full gradient) | {fb_ms:.1f} ms "
-            f"({fb:.1f} Mrays/s) | n/a (not differentiable) "
+            f"({fb:.1f} Mrays/s{_band(bench, 'fwd_bwd_mrays')}) "
+            f"| n/a (not differentiable) "
             f"| {bench['fwd_bwd_vs_baseline']:.2f}× |"
         )
     return "\n".join(rows) + "\n"
@@ -137,16 +173,21 @@ def rewrite_published():
     cur = {
         "hardware": "1x TPU v5e (remote relay)",
         "fwd_ms": round(1920 * 1080 / fwd_mrays / 1e3, 1),
-        "fwd_mrays_per_s": fwd_mrays,
+        "fwd_mrays_per_s": fwd_mrays,  # MEDIAN over bench sessions
         "fwd_vs_cpu_baseline": bench["vs_baseline"],
         "golden_parity_min_frac": round(min(fracs), 4),
         "golden_parity_max_frac": round(max(fracs), 4),
+        "bench_sessions": bench.get("sessions", 1),
         "generator": "tools/verify_publish.py (machine-generated)",
     }
+    if "value_band" in bench:
+        cur["fwd_mrays_band"] = bench["value_band"]
     if "fwd_bwd_mrays" in bench:
         cur["fwd_bwd_ms"] = round(1920 * 1080 / bench["fwd_bwd_mrays"] / 1e3, 1)
         cur["fwd_bwd_mrays_per_s"] = bench["fwd_bwd_mrays"]
         cur["fwd_bwd_vs_cpu_baseline"] = bench["fwd_bwd_vs_baseline"]
+        if "fwd_bwd_mrays_band" in bench:
+            cur["fwd_bwd_mrays_band"] = bench["fwd_bwd_mrays_band"]
     baseline.setdefault("published", {})["current"] = cur
     with open(baseline_path, "w") as f:
         json.dump(baseline, f, indent=2)
