@@ -37,7 +37,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu  # noqa: F401 (platform dep)
 
 R_TILE = 4096  # rays per grid step (large: ~1 us/step overhead floor;
-#   the [r_tile, T_BLK] bf16 one-hot must stay within VMEM)
+#   the [r_sub, T_BLK] bf16 one-hot must stay within VMEM)
+R_SUB = 4096  # rays per in-kernel sub-tile (see segment_accumulate_matmul)
 T_BLK = 1024  # segment columns per grid step ([R_TILE, T_BLK] f32 = 4 MB)
 MAX_SEGMENTS = 65536  # beyond this the g re-reads outweigh the scatter
 
@@ -70,7 +71,7 @@ def _match_varying(x, target_vma: frozenset):
 
 
 def _kernel(band_lo_ref, band_hi_ref, tri_ref, g_ref, out_ref, *, t_blk,
-            r_tile):
+            r_tile, r_sub):
     """out[K, T_BLK] += g[K, R_TILE] @ onehot(tri)[R_TILE, T_BLK].
 
     Precision: the one-hot is EXACT in bf16 (entries are 0/1), so instead
@@ -79,11 +80,14 @@ def _kernel(band_lo_ref, band_hi_ref, tri_ref, g_ref, out_ref, *, t_blk,
     1-pass MXU matmuls — ~1e-6 relative error at ~1 extra matmul, vs
     1.6e-3 for plain bf16 (measured).
 
-    Banding: (band_lo, band_hi)[i] bound ray tile i's segment ids.  With
-    Morton-rank-remapped ids (segment_accumulate_banded) a pixel tile's
-    hits span a narrow band, so most (segment-block, ray-tile) grid steps
-    prove empty from SMEM and skip both the one-hot construction (the R x
-    T_pad dominant cost) and the matmuls.
+    Banding: (band_lo, band_hi) bound each R_SUB-ray SUB-tile's segment
+    ids.  With Morton-rank-remapped ids (segment_accumulate_banded) a
+    pixel tile's hits span a narrow band, so most sub-tiles prove empty
+    from SMEM and skip both the one-hot construction (the R x T_pad
+    dominant cost) and the matmuls.  Sub-tiling (r_sub < r_tile, round 4)
+    keeps the VMEM-bound [r_sub, t_blk] one-hot small while the GRID step
+    covers r_tile rays — the ~1 us/step sequencing floor amortizes over
+    r_tile/r_sub sub-tiles, and the finer bands skip MORE work.
     """
     j = pl.program_id(0)  # segment-tile index (outer)
     i = pl.program_id(1)  # ray-tile index (inner, accumulating)
@@ -92,28 +96,31 @@ def _kernel(band_lo_ref, band_hi_ref, tri_ref, g_ref, out_ref, *, t_blk,
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    overlaps = jnp.logical_and(
-        band_lo_ref[i] < (j + 1) * t_blk, band_hi_ref[i] >= j * t_blk
-    )
-
-    @pl.when(overlaps)
-    def _work():
-        tri = tri_ref[0]  # [R_TILE] i32 (-1 padding never matches)
-        g = g_ref[...]  # [K, R_TILE] f32
-
-        cols = jax.lax.broadcasted_iota(jnp.int32, (r_tile, t_blk), 1)
-        onehot = (tri[:, None] == cols + j * t_blk).astype(jnp.bfloat16)
-
-        dn = (((1,), (0,)), ((), ()))
-        g_hi = g.astype(jnp.bfloat16)
-        g_lo = (g - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        acc = jax.lax.dot_general(
-            g_hi, onehot, dn, preferred_element_type=jnp.float32
+    S = r_tile // r_sub
+    dn = (((1,), (0,)), ((), ()))
+    for s in range(S):
+        overlaps = jnp.logical_and(
+            band_lo_ref[i * S + s] < (j + 1) * t_blk,
+            band_hi_ref[i * S + s] >= j * t_blk,
         )
-        acc += jax.lax.dot_general(
-            g_lo, onehot, dn, preferred_element_type=jnp.float32
-        )
-        out_ref[...] += acc
+
+        @pl.when(overlaps)
+        def _work(s=s):
+            tri = tri_ref[0, s * r_sub:(s + 1) * r_sub]  # [r_sub] i32
+            g = g_ref[:, s * r_sub:(s + 1) * r_sub]  # [K, r_sub] f32
+
+            cols = jax.lax.broadcasted_iota(jnp.int32, (r_sub, t_blk), 1)
+            onehot = (tri[:, None] == cols + j * t_blk).astype(jnp.bfloat16)
+
+            g_hi = g.astype(jnp.bfloat16)
+            g_lo = (g - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            acc = jax.lax.dot_general(
+                g_hi, onehot, dn, preferred_element_type=jnp.float32
+            )
+            acc += jax.lax.dot_general(
+                g_lo, onehot, dn, preferred_element_type=jnp.float32
+            )
+            out_ref[...] += acc
 
 
 def _pallas_available() -> bool:
@@ -145,18 +152,24 @@ def segment_accumulate_matmul(
     g: jnp.ndarray,  # [K, R] f32 cotangents
     num_segments: int,
     r_tile: int = R_TILE,
+    r_sub: int | None = None,
 ) -> jnp.ndarray:
     """MXU segment-sum: returns [K, num_segments] f32.
 
-    ``r_tile`` sets the rays-per-grid-step: per-step overhead (~1 us) was
-    the measured floor at 1024 (8160 steps = ~9 ms with 94% of steps
-    band-skipped), so the default is large.
+    ``r_tile`` sets the rays-per-GRID-step; ``r_sub`` (default R_SUB) the
+    rays per in-kernel sub-tile: each grid step statically unrolls
+    r_tile/r_sub band-gated one-hot matmuls, so the ~1 us/step grid
+    sequencing floor amortizes while the [r_sub, T_BLK] one-hot stays
+    within VMEM and the finer sub-bands skip more work (round 4: 4096/4096
+    -> 16384/1024 cut the 14-01 banded VJP's grid steps 4x).
     """
     if not _pallas_available():
         return _segment_accumulate_xla(
             tri.astype(jnp.int32), g, num_segments
         )
     K, R = g.shape
+    r_sub = r_sub or min(R_SUB, r_tile)
+    assert r_tile % r_sub == 0
     t_pad = max(-(-num_segments // T_BLK) * T_BLK, T_BLK)
     r_pad = (-R) % r_tile
     if r_pad:
@@ -166,7 +179,7 @@ def segment_accumulate_matmul(
     steps_t = t_pad // T_BLK
 
     tri = tri.astype(jnp.int32)
-    tiles = tri.reshape(steps_r, r_tile)
+    tiles = tri.reshape(-1, r_sub)  # [steps_r * (r_tile // r_sub), r_sub]
     live = tiles >= 0
     band_lo = jnp.where(live, tiles, jnp.int32(2**30)).min(axis=1)
     band_hi = jnp.where(live, tiles, -1).max(axis=1)
@@ -176,7 +189,7 @@ def segment_accumulate_matmul(
     # ShapeDtypeStruct has vma=None, which the manual-axes checker rejects).
     out_vma = _vma_of(tri) | _vma_of(g)
     out = pl.pallas_call(
-        functools.partial(_kernel, t_blk=T_BLK, r_tile=r_tile),
+        functools.partial(_kernel, t_blk=T_BLK, r_tile=r_tile, r_sub=r_sub),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # band_lo, band_hi
             grid=(steps_t, steps_r),  # ray axis innermost: out block stays

@@ -252,7 +252,7 @@ def _member_runs(bounds, pair_tile, pair_sc, cl_min, cl_max, sc,
 def bin_pairs(sc_min, sc_max, origins, dirs, pairs_cap: int,
               tile_rays: int = TILE_RAYS, active=None,
               apex=None, apex_slack: float = 0.0,
-              near_first: bool = False):
+              near_first: bool = False, per_tile_cap: int | None = None):
     """Phase A: tile-major (tile, supercluster) interaction pairs.
 
     Returns (pair_tile [P], pair_sc [P], pair_valid [P], total_pairs []).
@@ -304,6 +304,15 @@ def bin_pairs(sc_min, sc_max, origins, dirs, pairs_cap: int,
             jnp.where(mask, dist, INFD), axis=1
         ).astype(jnp.int32)  # [tiles, L2] live-near-first
         mask = jnp.take_along_axis(mask, ord_d, axis=1)
+        if per_tile_cap is not None:
+            # TRUNCATED near walk: keep only each tile's per_tile_cap
+            # nearest live superclusters (phase 1 of the two-phase shadow
+            # resolution — deliberately incomplete; the caller re-traces
+            # surviving lanes compacted).
+            mask = mask & (
+                jnp.arange(mask.shape[1], dtype=jnp.int32)[None]
+                < per_tile_cap
+            )
     flat = mask.reshape(-1)
     # stable argsort of ~mask: True entries first, in row-major order
     # == grouped by tile (essential: same-tile pairs must be consecutive
@@ -334,6 +343,270 @@ def bin_pairs(sc_min, sc_max, origins, dirs, pairs_cap: int,
 
 
 _STREAM_UNROLL = 4  # member clusters tested per loop iteration
+
+# Streamed-table memory layout (CRT_STREAM_LAYOUT, measured on TPU):
+#   "rows"  — six arrays, per-cluster [16, X] tiles (X = 3/9/1): every
+#             16-sublane row carries 12-72 real bytes into 512-byte lanes,
+#             so the per-step DMA writes ~816 KB of VMEM for 34 KB of data
+#             in thousands of sub-burst rows (the round-3 shadow wall).
+#   "fused" — ONE [L, 16, 18] array (n|nv0|m|c|nobf|tri_id columns): same
+#             kernel math (static column slices of a [16, 128]-padded
+#             tile), one contiguous HBM read, ~262 KB VMEM writes/step.
+#   "lane"  — [L2, 18, sc*16] supercluster slabs, triangle slots on LANES:
+#             18 rows x 2 KB proper DMA bursts (~49 KB/step, the designed
+#             ~17x cut); members are extracted in-kernel by a dynamic
+#             lane rotate + [16, 18] transpose per live member.
+_F_COLS = 18  # n xyz | nv0 | m (9) | c (3) | nobf | tri_id
+
+
+def stream_layout() -> str:
+    import os
+
+    # "fused" measured −11 % on the 1M-tri primary stream trace (317.5 →
+    # 281.8 ms; frame flat within relay variance), bit-identical results.
+    # "lane" (the designed [L2, 18, sc*16] repack) measured WORSE — the
+    # per-member dynamic lane rotate + [16, 18] transpose costs more than
+    # the padded DMA it saves (Pallas double buffering was already hiding
+    # the ~30x write inflation).  Full numbers: docs/PERFORMANCE.md round 4.
+    return os.environ.get("CRT_STREAM_LAYOUT", "fused")
+
+
+def build_fused_table(tables: ClusterTables) -> jnp.ndarray:
+    """[L, 16, 18] f32 fused per-triangle constants (column map above).
+    tri_id rides as f32 — exact for ids < 2^24 (asserted)."""
+    L = tables.n.shape[0]
+    assert L * 16 < (1 << 24), "tri ids not exact in f32"
+    return jnp.concatenate(
+        [
+            tables.n,
+            tables.nv0[..., None],
+            tables.m,
+            tables.c,
+            tables.nobf[..., None],
+            tables.tri_id.astype(jnp.float32)[..., None],
+        ],
+        axis=-1,
+    )
+
+
+def _f_test_closest(f, o3, d3, carry):
+    """Closest-hit test of one 16-triangle cluster from a fused [16, 18]
+    block against the tile's rays.  Same math as _stream_kernel's
+    _test_cluster, reading static column slices."""
+    INF = jnp.float32(jnp.inf)
+    BIGID = jnp.int32(2**30)
+    ox, oy, oz = o3
+    dx, dy, dz = d3
+    best_t, best_tri = carry
+    nd = f[:, 0:1] * dx + f[:, 1:2] * dy + f[:, 2:3] * dz
+    no = f[:, 0:1] * ox + f[:, 1:2] * oy + f[:, 2:3] * oz
+    opd = f[:, 3:4] - no
+    not_parallel = jnp.abs(nd) >= PARALLEL_EPS
+    face_ok = (opd < 0.0) | (f[:, 16:17] > 0.5)
+    t = opd / jnp.where(not_parallel, nd, 1.0)
+    valid = not_parallel & face_ok & (t >= 0.0)
+    for e in range(3):
+        md = (
+            f[:, 4 + 3 * e : 5 + 3 * e] * dx
+            + f[:, 5 + 3 * e : 6 + 3 * e] * dy
+            + f[:, 6 + 3 * e : 7 + 3 * e] * dz
+        )
+        mo = (
+            f[:, 4 + 3 * e : 5 + 3 * e] * ox
+            + f[:, 5 + 3 * e : 6 + 3 * e] * oy
+            + f[:, 6 + 3 * e : 7 + 3 * e] * oz
+        )
+        valid = valid & ((mo - f[:, 13 + e : 14 + e]) + t * md >= 0.0)
+    t = jnp.where(valid, t, INF)
+    cl_best = jnp.min(t, axis=0, keepdims=True)
+    tid = f[:, 17:18].astype(jnp.int32)
+    cand = jnp.where(t <= cl_best, tid, BIGID)
+    cl_tri = jnp.min(cand, axis=0, keepdims=True)
+    better = cl_best < best_t
+    return (
+        jnp.where(better, cl_best, best_t),
+        jnp.where(better, cl_tri, best_tri),
+    )
+
+
+def _f_test_occl(f, o3, d3, r2, blocked):
+    """Any-hit (occlusion) variant of _f_test_closest."""
+    ox, oy, oz = o3
+    dx, dy, dz = d3
+    nd = f[:, 0:1] * dx + f[:, 1:2] * dy + f[:, 2:3] * dz
+    no = f[:, 0:1] * ox + f[:, 1:2] * oy + f[:, 2:3] * oz
+    opd = f[:, 3:4] - no
+    not_parallel = jnp.abs(nd) >= PARALLEL_EPS
+    face_ok = (opd < 0.0) | (f[:, 16:17] > 0.5)
+    t = opd / jnp.where(not_parallel, nd, 1.0)
+    valid = not_parallel & face_ok & (t >= 0.0) & (t * t <= r2)
+    for e in range(3):
+        md = (
+            f[:, 4 + 3 * e : 5 + 3 * e] * dx
+            + f[:, 5 + 3 * e : 6 + 3 * e] * dy
+            + f[:, 6 + 3 * e : 7 + 3 * e] * dz
+        )
+        mo = (
+            f[:, 4 + 3 * e : 5 + 3 * e] * ox
+            + f[:, 5 + 3 * e : 6 + 3 * e] * oy
+            + f[:, 6 + 3 * e : 7 + 3 * e] * oz
+        )
+        valid = valid & ((mo - f[:, 13 + e : 14 + e]) + t * md >= 0.0)
+    return blocked | jnp.any(valid, axis=0, keepdims=True).astype(jnp.int32)
+
+
+def _member_at_fn(pair_perm_ref, p, W, count):
+    """idx -> cluster index from the 5-bit-packed live-first permutation
+    (clamped past ``count``; re-tests are idempotent)."""
+
+    def member_at(idx):
+        idx = jnp.minimum(idx, count - 1)
+        word = pair_perm_ref[p * W + idx // _PERM_PER_WORD]
+        sh = (idx % _PERM_PER_WORD).astype(jnp.uint32) * _PERM_BITS
+        return (
+            jax.lax.shift_right_logical(word, sh) & jnp.uint32(31)
+        ).astype(jnp.int32)
+
+    return member_at
+
+
+def _make_fused_kernel(occl: bool):
+    """Kernel over the "fused" layout: one [SC, 16, 18] streamed block."""
+
+    def kernel(pair_tile_ref, pair_sc_ref, pair_count_ref, pair_perm_ref,
+               *refs):
+        if occl:
+            o_ref, d_ref, r2_ref, prev_ref, f_ref, occ_ref = refs
+        else:
+            o_ref, d_ref, f_ref, best_t_ref, best_tri_ref = refs
+        p = pl.program_id(0)
+        W = pair_perm_ref.shape[0] // pair_tile_ref.shape[0]
+        first_of_tile = jnp.logical_or(
+            p == 0, pair_tile_ref[p] != pair_tile_ref[jnp.maximum(p - 1, 0)]
+        )
+
+        if occl:
+            @pl.when(first_of_tile)
+            def _init():
+                occ_ref[...] = prev_ref[...]
+
+            count = pair_count_ref[p]
+            done = jnp.all(occ_ref[0, 0:1, :] > 0)
+            run = (count > 0) & jnp.logical_not(done)
+        else:
+            @pl.when(first_of_tile)
+            def _init():
+                best_t_ref[...] = jnp.full_like(best_t_ref, jnp.inf)
+                best_tri_ref[...] = jnp.full_like(best_tri_ref, -1)
+
+            count = pair_count_ref[p]
+            run = count > 0
+
+        @pl.when(run)
+        def _work():
+            o3 = (o_ref[0, 0:1, :], o_ref[0, 1:2, :], o_ref[0, 2:3, :])
+            d3 = (d_ref[0, 0:1, :], d_ref[0, 1:2, :], d_ref[0, 2:3, :])
+            member_at = _member_at_fn(pair_perm_ref, p, W, count)
+
+            def body(k, carry):
+                base = k * _STREAM_UNROLL
+                for u in range(_STREAM_UNROLL):
+                    f = f_ref[member_at(base + u)]
+                    if occl:
+                        carry = _f_test_occl(f, o3, d3, r2_ref[0, 0:1, :],
+                                             carry)
+                    else:
+                        carry = _f_test_closest(f, o3, d3, carry)
+                return carry
+
+            steps = (count + _STREAM_UNROLL - 1) // _STREAM_UNROLL
+            if occl:
+                blocked = jax.lax.fori_loop(
+                    0, steps, body, occ_ref[0, 0:1, :]
+                )
+                occ_ref[0, 0, :] = blocked[0]
+            else:
+                out = jax.lax.fori_loop(
+                    0, steps, body, (best_t_ref[0], best_tri_ref[0])
+                )
+                best_t_ref[0] = out[0]
+                best_tri_ref[0] = out[1]
+
+    return kernel
+
+
+def _make_lane_kernel(occl: bool, sc: int):
+    """Kernel over the "lane" layout: one [1, 18, sc*16] streamed slab
+    (triangle slots on lanes — proper 2 KB DMA bursts); each live member's
+    [18, 16] lane window is extracted with a dynamic lane rotate and
+    transposed to the [16, 18] shape the burst math wants."""
+
+    def extract(slab, ci):
+        # slab [18, S]; member ci occupies lanes [ci*16, ci*16+16)
+        rolled = pltpu.roll(slab, -ci * 16, axis=1)
+        return rolled[:, :16].T  # [16, 18]
+
+    def kernel(pair_tile_ref, pair_sc_ref, pair_count_ref, pair_perm_ref,
+               *refs):
+        if occl:
+            o_ref, d_ref, r2_ref, prev_ref, f_ref, occ_ref = refs
+        else:
+            o_ref, d_ref, f_ref, best_t_ref, best_tri_ref = refs
+        p = pl.program_id(0)
+        W = pair_perm_ref.shape[0] // pair_tile_ref.shape[0]
+        first_of_tile = jnp.logical_or(
+            p == 0, pair_tile_ref[p] != pair_tile_ref[jnp.maximum(p - 1, 0)]
+        )
+
+        if occl:
+            @pl.when(first_of_tile)
+            def _init():
+                occ_ref[...] = prev_ref[...]
+
+            count = pair_count_ref[p]
+            done = jnp.all(occ_ref[0, 0:1, :] > 0)
+            run = (count > 0) & jnp.logical_not(done)
+        else:
+            @pl.when(first_of_tile)
+            def _init():
+                best_t_ref[...] = jnp.full_like(best_t_ref, jnp.inf)
+                best_tri_ref[...] = jnp.full_like(best_tri_ref, -1)
+
+            count = pair_count_ref[p]
+            run = count > 0
+
+        @pl.when(run)
+        def _work():
+            o3 = (o_ref[0, 0:1, :], o_ref[0, 1:2, :], o_ref[0, 2:3, :])
+            d3 = (d_ref[0, 0:1, :], d_ref[0, 1:2, :], d_ref[0, 2:3, :])
+            member_at = _member_at_fn(pair_perm_ref, p, W, count)
+            slab = f_ref[0]  # [18, S]
+
+            def body(k, carry):
+                base = k * _STREAM_UNROLL
+                for u in range(_STREAM_UNROLL):
+                    f = extract(slab, member_at(base + u))
+                    if occl:
+                        carry = _f_test_occl(f, o3, d3, r2_ref[0, 0:1, :],
+                                             carry)
+                    else:
+                        carry = _f_test_closest(f, o3, d3, carry)
+                return carry
+
+            steps = (count + _STREAM_UNROLL - 1) // _STREAM_UNROLL
+            if occl:
+                blocked = jax.lax.fori_loop(
+                    0, steps, body, occ_ref[0, 0:1, :]
+                )
+                occ_ref[0, 0, :] = blocked[0]
+            else:
+                out = jax.lax.fori_loop(
+                    0, steps, body, (best_t_ref[0], best_tri_ref[0])
+                )
+                best_t_ref[0] = out[0]
+                best_tri_ref[0] = out[1]
+
+    return kernel
 
 
 def _stream_kernel(
@@ -527,12 +800,50 @@ def _stream_occl_kernel(
         occ_ref[0, 0, :] = blocked[0]
 
 
-def _launch_stream_occl(tables, sc, o_t, d_t, r2_t, prev_occ, pair_tile,
-                        pair_sc, pair_count, pair_perm, cap: int,
-                        tile_rays: int, interpret: bool):
+def _table_operands_and_specs(tables, fused, sc: int, layout: str):
+    """(streamed table operands, their BlockSpecs) per layout (closest-hit
+    set; the occlusion set drops tri_id in "rows")."""
+    if layout == "rows":
+        specs = [
+            pl.BlockSpec((sc, 16, 3), lambda p, pt, ps, pc, pm: (ps[p], 0, 0)),
+            pl.BlockSpec((sc, 16), lambda p, pt, ps, pc, pm: (ps[p], 0)),
+            pl.BlockSpec((sc, 16, 9), lambda p, pt, ps, pc, pm: (ps[p], 0, 0)),
+            pl.BlockSpec((sc, 16, 3), lambda p, pt, ps, pc, pm: (ps[p], 0, 0)),
+            pl.BlockSpec((sc, 16), lambda p, pt, ps, pc, pm: (ps[p], 0)),
+            pl.BlockSpec((sc, 16), lambda p, pt, ps, pc, pm: (ps[p], 0)),
+        ]
+        ops = [tables.n, tables.nv0, tables.m, tables.c, tables.nobf,
+               tables.tri_id]
+        return ops, specs
+    if layout == "fused":
+        return [fused], [
+            pl.BlockSpec((sc, 16, _F_COLS),
+                         lambda p, pt, ps, pc, pm: (ps[p], 0, 0)),
+        ]
+    if layout == "lane":
+        S = sc * 16
+        lane = fused.reshape(-1, S, _F_COLS).transpose(0, 2, 1)  # [L2,18,S]
+        return [lane], [
+            pl.BlockSpec((1, _F_COLS, S),
+                         lambda p, pt, ps, pc, pm: (ps[p], 0, 0)),
+        ]
+    raise ValueError(f"unknown stream layout {layout!r}")
+
+
+def _launch_stream_occl(tables, fused, sc, o_t, d_t, r2_t, prev_occ,
+                        pair_tile, pair_sc, pair_count, pair_perm, cap: int,
+                        tile_rays: int, interpret: bool, layout: str):
     """Occlusion launch at static grid ``cap`` -> occ [tiles, 1, TR] i32."""
     tiles = o_t.shape[0]
     W = -(-sc // _PERM_PER_WORD)
+    tab_ops, tab_specs = _table_operands_and_specs(tables, fused, sc, layout)
+    if layout == "rows":
+        tab_ops, tab_specs = tab_ops[:-1], tab_specs[:-1]  # no tri_id
+        kernel = _stream_occl_kernel
+    elif layout == "fused":
+        kernel = _make_fused_kernel(occl=True)
+    else:
+        kernel = _make_lane_kernel(occl=True, sc=sc)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(cap,),
@@ -545,11 +856,7 @@ def _launch_stream_occl(tables, sc, o_t, d_t, r2_t, prev_occ, pair_tile,
                          lambda p, pt, ps, pc, pm: (pt[p], 0, 0)),
             pl.BlockSpec((1, 1, tile_rays),
                          lambda p, pt, ps, pc, pm: (pt[p], 0, 0)),
-            pl.BlockSpec((sc, 16, 3), lambda p, pt, ps, pc, pm: (ps[p], 0, 0)),
-            pl.BlockSpec((sc, 16), lambda p, pt, ps, pc, pm: (ps[p], 0)),
-            pl.BlockSpec((sc, 16, 9), lambda p, pt, ps, pc, pm: (ps[p], 0, 0)),
-            pl.BlockSpec((sc, 16, 3), lambda p, pt, ps, pc, pm: (ps[p], 0, 0)),
-            pl.BlockSpec((sc, 16), lambda p, pt, ps, pc, pm: (ps[p], 0)),
+            *tab_specs,
         ],
         out_specs=[
             pl.BlockSpec((1, 1, tile_rays),
@@ -558,7 +865,7 @@ def _launch_stream_occl(tables, sc, o_t, d_t, r2_t, prev_occ, pair_tile,
     )
     vma = _out_vma(o_t, d_t, r2_t, prev_occ, pair_tile, *tables)
     (occ,) = pl.pallas_call(
-        _stream_occl_kernel,
+        kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((tiles, 1, tile_rays), jnp.int32, vma=vma)
@@ -568,18 +875,25 @@ def _launch_stream_occl(tables, sc, o_t, d_t, r2_t, prev_occ, pair_tile,
         pair_tile[:cap], pair_sc[:cap], pair_count[:cap],
         pair_perm[: cap * W],
         o_t, d_t, r2_t, prev_occ,
-        tables.n, tables.nv0, tables.m, tables.c, tables.nobf,
+        *tab_ops,
     )
     return occ
 
 
-def _launch_stream_kernel(tables, sc, o_t, d_t, pair_tile, pair_sc,
+def _launch_stream_kernel(tables, fused, sc, o_t, d_t, pair_tile, pair_sc,
                           pair_count, pair_perm, cap: int, tile_rays: int,
-                          interpret: bool):
+                          interpret: bool, layout: str):
     """One pallas_call at a STATIC grid size ``cap`` over the first ``cap``
     entries of the (tile-major) pair arrays."""
     tiles = o_t.shape[0]
     W = -(-sc // _PERM_PER_WORD)
+    tab_ops, tab_specs = _table_operands_and_specs(tables, fused, sc, layout)
+    if layout == "rows":
+        kernel = _stream_kernel
+    elif layout == "fused":
+        kernel = _make_fused_kernel(occl=False)
+    else:
+        kernel = _make_lane_kernel(occl=False, sc=sc)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,  # pair_tile, pair_sc, pair_count, pair_perm
         grid=(cap,),
@@ -588,12 +902,7 @@ def _launch_stream_kernel(tables, sc, o_t, d_t, pair_tile, pair_sc,
                          lambda p, pt, ps, pc, pm: (pt[p], 0, 0)),
             pl.BlockSpec((1, 3, tile_rays),
                          lambda p, pt, ps, pc, pm: (pt[p], 0, 0)),
-            pl.BlockSpec((sc, 16, 3), lambda p, pt, ps, pc, pm: (ps[p], 0, 0)),
-            pl.BlockSpec((sc, 16), lambda p, pt, ps, pc, pm: (ps[p], 0)),
-            pl.BlockSpec((sc, 16, 9), lambda p, pt, ps, pc, pm: (ps[p], 0, 0)),
-            pl.BlockSpec((sc, 16, 3), lambda p, pt, ps, pc, pm: (ps[p], 0, 0)),
-            pl.BlockSpec((sc, 16), lambda p, pt, ps, pc, pm: (ps[p], 0)),
-            pl.BlockSpec((sc, 16), lambda p, pt, ps, pc, pm: (ps[p], 0)),
+            *tab_specs,
         ],
         out_specs=[
             pl.BlockSpec((1, 1, tile_rays),
@@ -604,7 +913,7 @@ def _launch_stream_kernel(tables, sc, o_t, d_t, pair_tile, pair_sc,
     )
     vma = _out_vma(o_t, d_t, pair_tile, *tables)
     return pl.pallas_call(
-        _stream_kernel,
+        kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((tiles, 1, tile_rays), jnp.float32,
@@ -616,15 +925,14 @@ def _launch_stream_kernel(tables, sc, o_t, d_t, pair_tile, pair_sc,
         pair_tile[:cap], pair_sc[:cap], pair_count[:cap],
         pair_perm[: cap * W],
         o_t, d_t,
-        tables.n, tables.nv0, tables.m, tables.c, tables.nobf,
-        tables.tri_id,
+        *tab_ops,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("pairs_cap", "tile_rays", "interpret", "tiered",
-                     "block"),
+                     "block", "layout"),
 )
 def closest_hit_stream_flat(
     tables: ClusterTables,  # cluster axis padded to SC_CLUSTERS
@@ -640,6 +948,7 @@ def closest_hit_stream_flat(
     block: int = 16384,
     apex=None,  # [tiles, 3]: point-light shadow shaft binning
     apex_slack=0.0,
+    layout: str | None = None,  # streamed-table layout (see stream_layout)
 ):
     """Streaming closest hit.  Returns (Hit, total_pairs).
 
@@ -669,6 +978,8 @@ def closest_hit_stream_flat(
     o_t = origins.reshape(tiles, tile_rays, 3).swapaxes(1, 2)
     d_t = dirs.reshape(tiles, tile_rays, 3).swapaxes(1, 2)
     sc = tables.n.shape[0] // L2
+    layout = layout or stream_layout()
+    fused = build_fused_table(tables) if layout != "rows" else None
 
     bounds = _tile_bounds(origins, dirs, tile_rays, active)
 
@@ -690,8 +1001,8 @@ def closest_hit_stream_flat(
         def make_branch(cap):
             def branch(args):
                 return _launch_stream_kernel(
-                    tables, sc, *args, cap=cap, tile_rays=tile_rays,
-                    interpret=interpret,
+                    tables, fused, sc, *args, cap=cap, tile_rays=tile_rays,
+                    interpret=interpret, layout=layout,
                 )
             return branch
 
@@ -756,8 +1067,9 @@ def closest_hit_stream_flat(
         )
         blk_count = jnp.where(blk_valid > 0, blk_count, 0)
         out_t, out_tri = _launch_stream_kernel(
-            tables, sc, o_t, d_t, blk_tile, blk_sc, blk_count, blk_perm,
-            cap=block, tile_rays=tile_rays, interpret=interpret,
+            tables, fused, sc, o_t, d_t, blk_tile, blk_sc, blk_count,
+            blk_perm, cap=block, tile_rays=tile_rays, interpret=interpret,
+            layout=layout,
         )
         touched = (
             jnp.zeros((tiles,), jnp.int32).at[blk_tile].max(blk_valid) > 0
@@ -780,7 +1092,8 @@ def closest_hit_stream_flat(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pairs_cap", "tile_rays", "interpret", "block"),
+    static_argnames=("pairs_cap", "tile_rays", "interpret", "block",
+                     "layout", "per_tile_cap"),
 )
 def occluded_stream_flat(
     tables: ClusterTables,
@@ -796,6 +1109,8 @@ def occluded_stream_flat(
     tile_rays: int = TILE_RAYS,
     interpret: bool = False,
     block: int = 16384,
+    layout: str | None = None,
+    per_tile_cap: int | None = None,
 ):
     """Streaming any-hit occlusion -> [R] bool (apex shadow binning).
 
@@ -813,11 +1128,14 @@ def occluded_stream_flat(
     d_t = dirs.reshape(tiles, tile_rays, 3).swapaxes(1, 2)
     r2_t = r2.reshape(tiles, 1, tile_rays)
     sc = tables.n.shape[0] // L2
+    layout = layout or stream_layout()
+    fused = build_fused_table(tables) if layout != "rows" else None
 
     bounds = _tile_bounds(origins, dirs, tile_rays, active)
     pair_tile, pair_sc, pair_valid, total = bin_pairs(
         sc_min, sc_max, origins, dirs, pairs_cap, tile_rays, active,
         apex=apex, apex_slack=apex_slack, near_first=True,
+        per_tile_cap=per_tile_cap,
     )
     nblocks = -(-pairs_cap // block)
     pad = nblocks * block - pairs_cap
@@ -856,9 +1174,9 @@ def occluded_stream_flat(
         )
         blk_count = jnp.where(blk_valid > 0, blk_count, 0)
         out = _launch_stream_occl(
-            tables, sc, o_t, d_t, r2_t, occ, blk_tile, blk_sc,
+            tables, fused, sc, o_t, d_t, r2_t, occ, blk_tile, blk_sc,
             blk_count, blk_perm, cap=cap, tile_rays=tile_rays,
-            interpret=interpret,
+            interpret=interpret, layout=layout,
         )
         touched = (
             jnp.zeros((tiles,), jnp.int32).at[blk_tile].max(blk_valid) > 0
@@ -881,13 +1199,74 @@ def occluded_stream_flat(
     return occ.reshape(-1) > 0
 
 
+def occluded_stream_twophase(
+    tables, sc_min, sc_max,
+    shadow_o,  # [R, 3] per-pixel biased origins (shared by every light)
+    light_dirs,  # [Ll, R, 3]
+    r2,  # [Ll, R]
+    light_positions,  # [Ll, 3]
+    active,  # [Ll, R] bool
+    origin_slack,
+    tile_rays: int = TILE_RAYS,
+    interpret: bool = False,
+    layout: str | None = None,
+    phase1_k: int = 8,
+):
+    """Two-phase streaming shadow occlusion -> [Ll, R] bool.
+
+    The single-phase shadow wall (round 3/4 measurements): dense scenes
+    block ~85 % of lanes within the first near pairs, but the remaining
+    lanes hold their tiles' FULL shaft walks open — pair-steps, not DMA,
+    are the cost (the fused-layout sweep proved the padded DMA was hidden
+    by double buffering).  So: phase 1 walks only each tile's ``phase1_k``
+    nearest live superclusters (near-first truncated pair list — most
+    lanes block); phase 2 COMPACTS the surviving lanes per light (stable
+    sort keeps them pixel-tile-coherent) and re-traces the full shaft for
+    ~(1 - blocked) of the wavefront — tiles, and therefore pair-steps,
+    shrink by the survival factor.  Exact: phase 2 is a complete walk for
+    every lane phase 1 left unresolved."""
+    Ll, R = r2.shape
+    tpl = R // tile_rays
+    o_flat = jnp.broadcast_to(shadow_o[None], (Ll, R, 3)).reshape(-1, 3)
+    d_flat = light_dirs.reshape(-1, 3)
+    apex = jnp.repeat(light_positions, tpl, axis=0)
+    occ1 = occluded_stream_flat(
+        tables, sc_min, sc_max, o_flat, d_flat, r2.reshape(-1),
+        active.reshape(-1), apex, origin_slack,
+        tile_rays=tile_rays, interpret=interpret, layout=layout,
+        per_tile_cap=phase1_k,
+    ).reshape(Ll, R)
+
+    surv = active & jnp.logical_not(occ1)
+    # per-light stable compaction: survivors to the front, original
+    # (pixel-tile-major) order preserved — origins stay coherent and the
+    # per-tile apex (one light per R-lane segment) stays valid
+    perm = jnp.argsort(jnp.logical_not(surv), axis=1, stable=True)
+    o2 = jnp.take_along_axis(
+        jnp.broadcast_to(shadow_o[None], (Ll, R, 3)), perm[..., None], axis=1
+    )
+    d2 = jnp.take_along_axis(light_dirs, perm[..., None], axis=1)
+    r2_2 = jnp.take_along_axis(r2, perm, axis=1)
+    a2 = jnp.take_along_axis(surv, perm, axis=1)
+    occ2 = occluded_stream_flat(
+        tables, sc_min, sc_max, o2.reshape(-1, 3), d2.reshape(-1, 3),
+        r2_2.reshape(-1), a2.reshape(-1), apex, origin_slack,
+        tile_rays=tile_rays, interpret=interpret, layout=layout,
+    ).reshape(Ll, R)
+    inv = jnp.argsort(perm, axis=1)
+    occ2_back = jnp.take_along_axis(occ2, inv, axis=1)
+    return occ1 | (occ2_back & surv)
+
+
 def make_stream_trace_fn(scene, pairs_cap: int | None = None,
                          tile_rays: int | None = None,
                          interpret: bool = False,
                          sc_clusters: int = SC_CLUSTERS,
-                         tiered: bool = True):
+                         tiered: bool = True,
+                         layout: str | None = None):
     """trace_fn factory for the HBM-streaming backend ("pallas_stream")."""
     tile_rays = tile_rays or TILE_RAYS
+    layout = layout or stream_layout()
     tables = build_cluster_tables(scene)
     tables, sc_min, sc_max = build_supercluster_boxes(tables, sc_clusters)
     tables = jax.tree.map(jax.lax.stop_gradient, tables)
@@ -918,7 +1297,7 @@ def make_stream_trace_fn(scene, pairs_cap: int | None = None,
             tables, sc_min, sc_max,
             jax.lax.stop_gradient(o), jax.lax.stop_gradient(d), a,
             pairs_cap=pairs_cap, tile_rays=tile_rays, interpret=interpret,
-            tiered=tiered,
+            tiered=tiered, layout=layout,
         )
         return Hit(
             t=hit.t[:R].reshape(batch_shape),
@@ -942,6 +1321,21 @@ def make_stream_trace_fn(scene, pairs_cap: int | None = None,
             sh_t = jax.lax.stop_gradient(sh.t)
             occ = (sh.tri >= 0) & (sh_t * sh_t <= r2.reshape(-1))
             return occ.reshape(Ll, R)
+        import os
+
+        k = int(os.environ.get("CRT_STREAM_SHADOW_K", "0"))
+        if k > 0:
+            return occluded_stream_twophase(
+                tables, sc_min, sc_max,
+                jax.lax.stop_gradient(shadow_o),
+                jax.lax.stop_gradient(light_dirs),
+                jax.lax.stop_gradient(r2),
+                jax.lax.stop_gradient(light_positions),
+                jax.lax.stop_gradient(active),
+                jnp.float32(origin_slack),
+                tile_rays=tile_rays, interpret=interpret, layout=layout,
+                phase1_k=k,
+            )
         o_flat = jnp.broadcast_to(
             jax.lax.stop_gradient(shadow_o)[None], (Ll, R, 3)
         ).reshape(-1, 3)
@@ -955,6 +1349,7 @@ def make_stream_trace_fn(scene, pairs_cap: int | None = None,
             tables, sc_min, sc_max, o_flat, d_flat, r2_flat, a_flat,
             apex, jnp.float32(origin_slack),
             pairs_cap=pairs_cap, tile_rays=tile_rays, interpret=interpret,
+            layout=layout,
         )
         return occ.reshape(Ll, R)
 

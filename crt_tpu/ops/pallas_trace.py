@@ -79,6 +79,15 @@ _SHADOW_OCCL_KERNEL = os.environ.get("CRT_SHADOW_OCCL_KERNEL", "1") != "0"
 # tight because 32x32 pixel blocks land on contiguous surface — kept as an
 # opt-in knob for scenes with heavy per-tile depth spread.
 _SHADOW_SUBF = int(os.environ.get("CRT_SHADOW_SUBFRUSTA", "1"))
+# Near-origin-first cluster walk + in-kernel early exit for closest-hit
+# traces (bin_rays near_order; built for incoherent GI/bounce wavefronts
+# whose direction frustums degenerate).  Off by default pending the TPU
+# A/B — flips results only on cross-cluster exact-t ties.
+_NEAR_EXIT = os.environ.get("CRT_NEAR_EXIT", "0") != "0"
+# All-blocked while-exit + near-origin-first order for the
+# occlusion-specialized shadow kernel (inactive lanes seed blocked, the
+# stream path's convention).  Off by default pending the TPU A/B.
+_OCCL_EXIT = os.environ.get("CRT_OCCL_EXIT", "0") != "0"
 
 
 class ClusterTables(NamedTuple):
@@ -340,7 +349,8 @@ def _apex_wedge_mask(apex, w_lo, w_hi, cl_min, cl_max, slack):
 
 
 def bin_rays(tables: ClusterTables, origins, dirs, tile_rays: int | None = None,
-             active=None, apex=None, apex_slack: float = 0.0):
+             active=None, apex=None, apex_slack: float = 0.0,
+             near_order: bool = False):
     """Phase A.  origins/dirs: [R, 3] with R % tile_rays == 0.
 
     ``active`` ([R] bool or None) restricts the frustum to lanes whose hit
@@ -424,8 +434,33 @@ def bin_rays(tables: ClusterTables, origins, dirs, tile_rays: int | None = None,
     if sub > 1:
         mask = mask.reshape(tiles, sub, -1).any(axis=1)
 
-    order = jnp.argsort(~mask, axis=1, stable=True).astype(jnp.int32)
     counts = jnp.sum(mask, axis=1).astype(jnp.int32)
+    if near_order:
+        # NEAR-ORIGIN-FIRST live ordering + per-position distance LOWER
+        # BOUNDS: lb[i] = min distance from the tile's (active) origin box
+        # to the i-th walked cluster's box — a valid lower bound on any
+        # hit t in that cluster (unit directions).  The kernel walks
+        # ascending lb and EXITS once every consuming lane's best_t <=
+        # the next lb (no remaining cluster can beat a committed hit) —
+        # exact under the first-walked-wins tie rule, because a skipped
+        # cluster could at best TIE.  Built for incoherent bounce/GI
+        # wavefronts whose direction frustums degenerate (origins stay
+        # coherent: they are the parent tile's hit points).
+        if sub > 1:
+            o_lo = o_lo.reshape(tiles, sub, 3).min(axis=1)
+            o_hi = o_hi.reshape(tiles, sub, 3).max(axis=1)
+        gap = jnp.maximum(
+            tables.cl_min[None] - o_hi[:, None], o_lo[:, None] - tables.cl_max[None]
+        )  # [tiles, L, 3]
+        gap = jnp.maximum(gap, 0.0)
+        dist = jnp.sqrt(jnp.sum(gap * gap, axis=-1))  # [tiles, L]
+        INFD = jnp.float32(3.4e38)
+        keyed = jnp.where(mask, dist, INFD)
+        order = jnp.argsort(keyed, axis=1).astype(jnp.int32)
+        lb = jnp.take_along_axis(keyed, order, axis=1)
+        return order[:, None, :], counts, lb[:, None, :]
+
+    order = jnp.argsort(~mask, axis=1, stable=True).astype(jnp.int32)
     return order[:, None, :], counts
 
 
@@ -500,14 +535,20 @@ def _trace_kernel(
     c_ref,  # [L, 16, 3] VMEM
     nobf_ref,  # [L, 16] VMEM
     tid_ref,  # [L, 16] VMEM (i32)
-    *rest,  # [rows_ref [L, 16, Kp]] + best_t_ref, best_tri_ref [, best_rows_ref]
+    *rest,  # [lb, act if early_exit] [rows] + best_t, best_tri [, best_rows]
     emit_k: int = 0,
+    early_exit: bool = False,
 ):
     """Closest-hit cluster walk; with ``emit_k`` > 0 also emits the winning
     triangle's [Kp] attribute row per lane (see emit_rows_table) — the
     packed-row data the shader would otherwise re-fetch with a ~6 ms
     2 M-index XLA gather.  Selection is an exact 0/1 masked sum, so emitted
-    values are bit-identical to ``packed[:, tri]``."""
+    values are bit-identical to ``packed[:, tri]``.  ``early_exit``: the
+    distance-ordered while-walk (see _trace_tile_body)."""
+    if early_exit:
+        lb_ref, act_ref, *rest = rest
+    else:
+        lb_ref = act_ref = None
     if emit_k:
         rows_ref, best_t_ref, best_tri_ref, best_rows_ref = rest
     else:
@@ -520,6 +561,7 @@ def _trace_kernel(
         (rows_ref, best_t_ref, best_tri_ref, best_rows_ref) if emit_k
         else (best_t_ref, best_tri_ref),
         emit_k,
+        lb_ref=lb_ref, act_ref=act_ref,
     )
 
 
@@ -533,6 +575,7 @@ def _trace_kernel_compact(
     n_ref, nv0_ref, m_ref, c_ref, nobf_ref, tid_ref,
     *rest,
     emit_k: int = 0,
+    early_exit: bool = False,
 ):
     """Tile-compacted launch: grid step p handles tile tile_ids[p].  Steps
     past nlive re-point at the LAST live tile's blocks (no new DMA — the
@@ -540,6 +583,10 @@ def _trace_kernel_compact(
     writes, so dead tiles cost only grid sequencing.  Unvisited tiles'
     output blocks are garbage; the launcher masks them with counts > 0
     (count == 0 tiles are misses by construction)."""
+    if early_exit:
+        lb_ref, act_ref, *rest = rest
+    else:
+        lb_ref = act_ref = None
     if emit_k:
         rows_ref, best_t_ref, best_tri_ref, best_rows_ref = rest
     else:
@@ -555,6 +602,7 @@ def _trace_kernel_compact(
             (rows_ref, best_t_ref, best_tri_ref, best_rows_ref) if emit_k
             else (best_t_ref, best_tri_ref),
             emit_k,
+            lb_ref=lb_ref, act_ref=act_ref,
         )
 
 
@@ -566,14 +614,24 @@ def _occl_kernel_compact(
     o_ref,  # [1, 3, TR] VMEM
     d_ref,
     r2_ref,  # [1, 1, TR] VMEM squared max distance
-    n_ref, nv0_ref, m_ref, c_ref, nobf_ref,
-    occ_ref,  # [1, 1, TR] i32 out
+    *rest,  # [act_ref if early_exit], n, nv0, m, c, nobf, occ out
+    early_exit: bool = False,
 ):
     """Occlusion-specialized compact trace: OR-accumulates ``any hit with
     t^2 <= r2`` per lane instead of tracking (best_t, best_tri) — exactly
     the boolean the shadow path derives from the closest hit (any valid t
     with t^2 <= r2 exists iff min_t^2 <= r2), with no tie-break id
-    reduction, no tid table DMA, and a single [1, TR] carry plane."""
+    reduction, no tid table DMA, and a single [1, TR] carry plane.
+
+    ``early_exit``: lanes outside the consume mask (``act_ref``) seed as
+    blocked and the cluster walk becomes a while_loop that stops once the
+    whole tile is blocked — paired with near-origin-first cluster order
+    (bin_rays near_order) so dense blockers are found in the first steps."""
+    if early_exit:
+        act_ref, *rest = rest
+    else:
+        act_ref = None
+    n_ref, nv0_ref, m_ref, c_ref, nobf_ref, occ_ref = rest
     p = pl.program_id(0)
 
     @pl.when(p < nlive_ref[0])
@@ -620,9 +678,25 @@ def _occl_kernel_compact(
 
         TR = o_ref.shape[2]
         steps = (count + CLUSTER_UNROLL - 1) // CLUSTER_UNROLL
-        blocked = jax.lax.fori_loop(
-            0, steps, body, jnp.zeros((1, TR), jnp.int32)
-        )
+        if act_ref is None:
+            blocked = jax.lax.fori_loop(
+                0, steps, body, jnp.zeros((1, TR), jnp.int32)
+            )
+        else:
+            # seed unconsumed lanes blocked so they never hold the exit open
+            init = (act_ref[0, 0:1, :] <= 0.5).astype(jnp.int32)
+
+            def w_cond(state):
+                i, blocked = state
+                return (i < steps) & jnp.logical_not(jnp.all(blocked > 0))
+
+            def w_body(state):
+                i, blocked = state
+                return (i + 1, body(i, blocked))
+
+            _, blocked = jax.lax.while_loop(
+                w_cond, w_body, (jnp.int32(0), init)
+            )
         occ_ref[0, 0, :] = blocked[0]
 
 
@@ -636,6 +710,7 @@ def _occluded_binned_compact(
     tile_rays: int,
     interpret: bool,
     tile_mod: int | None = None,
+    act_t: jnp.ndarray | None = None,  # [tiles, 1, TR] f32 -> all-blocked exit
 ) -> jnp.ndarray:
     """Live-tile-compacted occlusion launch -> blocked [tiles, 1, TR] bool.
 
@@ -643,6 +718,7 @@ def _occluded_binned_compact(
     unoccluded by construction (count == 0 -> no cluster can block)."""
     tiles = counts.shape[0]  # o_t may be tile_mod-shrunk
     L = tables.n.shape[0]
+    early_exit = act_t is not None
 
     live = counts > 0
     n_live = jnp.sum(live, dtype=jnp.int32)
@@ -656,26 +732,41 @@ def _occluded_binned_compact(
         o_map = lambda i, nl, ts, c: (ts[i], 0, 0)
 
     def launch(cap):
+        in_specs = [
+            pl.BlockSpec((1, 1, L), lambda i, nl, ts, c: (ts[i], 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3, tile_rays), o_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, tile_rays),
+                         lambda i, nl, ts, c: (ts[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile_rays),
+                         lambda i, nl, ts, c: (ts[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands = [
+            nlive_arr, tile_ids[:cap], counts, cluster_list, o_t, d_t,
+            r2_t,
+        ]
+        if early_exit:
+            in_specs.append(
+                pl.BlockSpec((1, 1, tile_rays),
+                             lambda i, nl, ts, c: (ts[i], 0, 0),
+                             memory_space=pltpu.VMEM)
+            )
+            operands.append(act_t)
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # n
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # nv0
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # m
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # c
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # nobf
+        ]
+        operands += [tables.n, tables.nv0, tables.m, tables.c, tables.nobf]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(cap,),
-            in_specs=[
-                pl.BlockSpec((1, 1, L), lambda i, nl, ts, c: (ts[i], 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 3, tile_rays), o_map,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 3, tile_rays),
-                             lambda i, nl, ts, c: (ts[i], 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, tile_rays),
-                             lambda i, nl, ts, c: (ts[i], 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # n
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # nv0
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # m
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # c
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # nobf
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((1, 1, tile_rays),
                              lambda i, nl, ts, c: (ts[i], 0, 0),
@@ -683,16 +774,13 @@ def _occluded_binned_compact(
             ],
         )
         (occ,) = pl.pallas_call(
-            _occl_kernel_compact,
+            functools.partial(_occl_kernel_compact, early_exit=early_exit),
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((tiles, 1, tile_rays), jnp.int32)
             ],
             interpret=interpret,
-        )(
-            nlive_arr, tile_ids[:cap], counts, cluster_list, o_t, d_t,
-            r2_t, tables.n, tables.nv0, tables.m, tables.c, tables.nobf,
-        )
+        )(*operands)
         return occ
 
     caps = sorted({max(1, tiles >> s) for s in (3, 2, 1, 0)})
@@ -711,10 +799,17 @@ def _occluded_binned_compact(
 
 def _trace_tile_body(count, cluster_list_ref, o_ref, d_ref, n_ref, nv0_ref,
                      m_ref, c_ref, nobf_ref, tid_ref, rest, emit_k,
-                     lane_lo=0, lane_hi=None, cl_row=0):
+                     lane_lo=0, lane_hi=None, cl_row=0,
+                     lb_ref=None, act_ref=None):
     """``lane_lo/lane_hi`` select a static lane window (tile-merged launches
     pack several tiles' lanes into one block); ``cl_row`` selects the
-    sub-tile's row of a merged cluster-list block."""
+    sub-tile's row of a merged cluster-list block.
+
+    ``lb_ref`` ([1, 1, L] SMEM f32, ascending): per-walk-position hit-t
+    lower bounds from near-origin-first binning (bin_rays near_order) —
+    the walk becomes a while_loop that EXITS once every consuming lane
+    (``act_ref`` [1, 1, TR], or all lanes when None) has best_t <= the
+    next position's bound.  Exact under the first-walked-wins tie rule."""
     if emit_k:
         rows_ref, best_t_ref, best_tri_ref, best_rows_ref = rest
     else:
@@ -813,7 +908,30 @@ def _trace_tile_body(count, cluster_list_ref, o_ref, d_ref, n_ref, nv0_ref,
     if emit_k:
         init = init + (jnp.zeros((emit_k, TR), jnp.float32),)
     steps = (count + CLUSTER_UNROLL - 1) // CLUSTER_UNROLL
-    out = jax.lax.fori_loop(0, steps, body, init)
+    if lb_ref is None:
+        out = jax.lax.fori_loop(0, steps, body, init)
+    else:
+        if act_ref is not None:
+            skip = act_ref[0, 0:1, lo:hi] <= 0.5  # [1, TR] unconsumed lanes
+        else:
+            skip = None
+
+        def w_cond(state):
+            i, best_t = state[0], state[1]
+            nb = lb_ref[cl_row, 0, jnp.minimum(i * CLUSTER_UNROLL,
+                                               count - 1)]
+            settled = best_t <= nb
+            if skip is not None:
+                settled = settled | skip
+            return (i < steps) & jnp.logical_not(jnp.all(settled))
+
+        def w_body(state):
+            carry = body(state[0], state[1:])
+            return (state[0] + 1,) + tuple(carry)
+
+        out = jax.lax.while_loop(
+            w_cond, w_body, (jnp.int32(0),) + init
+        )[1:]
     best_t_ref[0, 0, lo:hi] = out[0][0]
     best_tri_ref[0, 0, lo:hi] = out[1][0]
     if emit_k:
@@ -965,13 +1083,17 @@ def _closest_hit_binned(
     tile_rays: int,
     interpret: bool,
     rows_table: jnp.ndarray | None = None,  # [L, S, Kp] (emit_rows_table)
+    lb: jnp.ndarray | None = None,  # [tiles, 1, L] ascending t lower bounds
+    act_t: jnp.ndarray | None = None,  # [tiles, 1, TR] f32 consume mask
 ) -> tuple[jnp.ndarray, ...]:
     """Run the trace kernel over pre-binned tiles -> (best_t, best_tri),
     each [tiles, 1, TR].  With ``rows_table`` ([L, S, Kp], see
-    emit_rows_table) also returns best_rows [tiles, Kp, TR]."""
+    emit_rows_table) also returns best_rows [tiles, Kp, TR].  With ``lb``
+    (near-ordered binning) the walk early-exits per _trace_tile_body."""
     tiles = o_t.shape[0]
     L = tables.n.shape[0]
     emit_k = 0 if rows_table is None else int(rows_table.shape[2])
+    early_exit = lb is not None
 
     in_specs = [
         pl.BlockSpec((1, 1, L), lambda i, c: (i, 0, 0),
@@ -1009,6 +1131,15 @@ def _closest_hit_binned(
         tables.nobf,
         tables.tri_id,
     ]
+    if early_exit:
+        in_specs.append(pl.BlockSpec((1, 1, L), lambda i, c: (i, 0, 0),
+                                     memory_space=pltpu.SMEM))
+        operands.append(lb)
+        in_specs.append(pl.BlockSpec((1, 1, tile_rays),
+                                     lambda i, c: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(act_t if act_t is not None
+                        else jnp.ones((tiles, 1, tile_rays), jnp.float32))
     if emit_k:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # rows
         operands.append(rows_table)
@@ -1034,7 +1165,8 @@ def _closest_hit_binned(
     )
 
     out = pl.pallas_call(
-        functools.partial(_trace_kernel, emit_k=emit_k),
+        functools.partial(_trace_kernel, emit_k=emit_k,
+                          early_exit=early_exit),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
@@ -1177,6 +1309,8 @@ def _closest_hit_binned_compact(
     interpret: bool,
     rows_table: jnp.ndarray | None = None,
     tile_mod: int | None = None,
+    lb: jnp.ndarray | None = None,
+    act_t: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, ...]:
     """_closest_hit_binned with LIVE-TILE compaction: sparse wavefronts
     (shadow tiles are ~85 % dead on the course benchmark — zero clusters
@@ -1190,6 +1324,9 @@ def _closest_hit_binned_compact(
     tiles = counts.shape[0]  # o_t may be tile_mod-shrunk
     L = tables.n.shape[0]
     emit_k = 0 if rows_table is None else int(rows_table.shape[2])
+    early_exit = lb is not None
+    if early_exit and act_t is None:
+        act_t = jnp.ones((tiles, 1, tile_rays), jnp.float32)
 
     live = counts > 0
     n_live = jnp.sum(live, dtype=jnp.int32)
@@ -1238,6 +1375,18 @@ def _closest_hit_binned_compact(
             tables.n, tables.nv0, tables.m, tables.c, tables.nobf,
             tables.tri_id,
         ]
+        if early_exit:
+            in_specs.append(
+                pl.BlockSpec((1, 1, L), lambda i, nl, ts, c: (ts[i], 0, 0),
+                             memory_space=pltpu.SMEM)
+            )
+            operands.append(lb)
+            in_specs.append(
+                pl.BlockSpec((1, 1, tile_rays),
+                             lambda i, nl, ts, c: (ts[i], 0, 0),
+                             memory_space=pltpu.VMEM)
+            )
+            operands.append(act_t)
         if emit_k:
             in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
             operands.append(rows_table)
@@ -1256,7 +1405,8 @@ def _closest_hit_binned_compact(
             out_specs=out_specs,
         )
         return pl.pallas_call(
-            functools.partial(_trace_kernel_compact, emit_k=emit_k),
+            functools.partial(_trace_kernel_compact, emit_k=emit_k,
+                              early_exit=early_exit),
             grid_spec=grid_spec,
             out_shape=out_shape,
             interpret=interpret,
@@ -1283,7 +1433,8 @@ def _closest_hit_binned_compact(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_rays", "interpret", "compact")
+    jax.jit, static_argnames=("tile_rays", "interpret", "compact",
+                              "near_exit")
 )
 def closest_hit_pallas_flat(
     tables: ClusterTables,
@@ -1294,15 +1445,29 @@ def closest_hit_pallas_flat(
     interpret: bool = False,
     rows_table=None,  # [L, S, Kp] -> also return emitted rows [Kp, R]
     compact: bool = False,  # live-tile compacted launch (sparse wavefronts)
+    near_exit: bool = False,  # near-first cluster walk with early exit
 ):
     R = origins.shape[0]
     tiles = R // tile_rays
 
-    cluster_list, counts = bin_rays(tables, origins, dirs, tile_rays, active)
+    lb = act_t = None
+    if near_exit:
+        cluster_list, counts, lb = bin_rays(
+            tables, origins, dirs, tile_rays, active, near_order=True
+        )
+        if active is not None:
+            act_t = active.astype(jnp.float32).reshape(
+                tiles, 1, tile_rays
+            )
+    else:
+        cluster_list, counts = bin_rays(
+            tables, origins, dirs, tile_rays, active
+        )
 
     o_t = origins.reshape(tiles, tile_rays, 3).swapaxes(1, 2)  # [tiles,3,TR]
     d_t = dirs.reshape(tiles, tile_rays, 3).swapaxes(1, 2)
-    if not compact and _TILE_MERGE > 1 and tiles % _TILE_MERGE == 0:
+    if (not compact and not near_exit and _TILE_MERGE > 1
+            and tiles % _TILE_MERGE == 0):
         out = _closest_hit_binned_merged(
             tables, o_t, d_t, cluster_list, counts, tile_rays, interpret,
             rows_table=rows_table, merge=_TILE_MERGE,
@@ -1312,7 +1477,7 @@ def closest_hit_pallas_flat(
                     else _closest_hit_binned)
         out = launcher(
             tables, o_t, d_t, cluster_list, counts, tile_rays, interpret,
-            rows_table=rows_table,
+            rows_table=rows_table, lb=lb, act_t=act_t,
         )
     hit = Hit(t=out[0].reshape(-1), tri=out[1].reshape(-1))
     if rows_table is not None:
@@ -1404,6 +1569,7 @@ def make_pallas_trace_fn(scene, tile_rays: int | None = None,
             interpret=interpret,
             rows_table=rows_table,
             compact=compact_masked and a is not None,
+            near_exit=_NEAR_EXIT,
         )
         hit, rows = out if want_rows else (out, None)
         hit = Hit(
@@ -1545,7 +1711,7 @@ def make_pallas_trace_fn(scene, tile_rays: int | None = None,
         apex = jnp.repeat(
             jax.lax.stop_gradient(light_positions), R // st, axis=0
         )  # [Ll * tiles_per_light, 3]
-        cluster_list, counts = bin_rays(
+        binned = bin_rays(
             tables,
             jax.lax.stop_gradient(o_flat),
             jax.lax.stop_gradient(d_flat),
@@ -1553,7 +1719,9 @@ def make_pallas_trace_fn(scene, tile_rays: int | None = None,
             a_flat,
             apex=apex,
             apex_slack=origin_slack,
+            near_order=_OCCL_EXIT and _SHADOW_OCCL_KERNEL,
         )
+        cluster_list, counts = binned[0], binned[1]
         # per-light origin tiles are identical: keep ONE pixel-tile copy
         # and let the launcher's index map wrap (skips materializing the
         # Ll-fold broadcast + its 8M-lane transpose in HBM)
@@ -1570,9 +1738,11 @@ def make_pallas_trace_fn(scene, tile_rays: int | None = None,
             # with t^2 <= r2 exists iff min_t^2 <= r2), minus the
             # tie-break reduction, tid DMA and one output buffer.
             r2_t = r2_flat.reshape(tiles, 1, st)
+            act_t = (a_flat.astype(jnp.float32).reshape(tiles, 1, st)
+                     if _OCCL_EXIT else None)
             occ = _occluded_binned_compact(
                 tables, o_t, d_t, r2_t, cluster_list, counts, st, interpret,
-                tile_mod=tpl,
+                tile_mod=tpl, act_t=act_t,
             )
             return occ.reshape(Ll, R)
         best_t, best_tri = _closest_hit_binned_compact(

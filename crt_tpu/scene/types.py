@@ -304,7 +304,12 @@ class RenderSettings:
     # order); gradients match autodiff to f32 roundoff
     # (tests/test_fused_light.py).  Escape hatch only — no known reason to
     # disable.
-    fused_light_vjp: bool = True
+    # Round-4 A/B (tools/exp_r4_ab.py, 14-01): the hand-fused light-loop
+    # VJP is ~4.5 % SLOWER end-to-end than AD's (fwd+bwd 29.75 vs
+    # 28.41 ms) — its residual-free backward recomputes the per-light
+    # chains the AD version had cached.  Kept as a tested opt-in; the
+    # lum-sum-first forward formulation (3x less HBM) is used either way.
+    fused_light_vjp: bool = False
     # Auxiliary output pass instead of the beauty render: "" (beauty),
     # "bary" (the 09-01 course visualization, crt_intersection.cpp:73-74),
     # "normal", "depth", "tri_id", "albedo".  First-class so golden

@@ -106,6 +106,40 @@ def test_member_runs_live_first_permutation():
         assert (count[sel] <= sc - pad).all()
 
 
+def test_stream_layouts_bit_identical():
+    """The three streamed-table layouts (rows / fused / lane) are pure
+    memory-layout changes — closest hits AND occlusion must be BIT-equal.
+    The lane layout additionally exercises the in-kernel dynamic lane
+    rotate + [16,18] transpose member extraction."""
+    import jax.numpy as jnp
+
+    scene, o, d = _scene_rays(num_quads=40)
+    tables, sc_min, sc_max = ps.build_supercluster_boxes(
+        build_cluster_tables(scene), 4
+    )
+    r2 = jnp.full((o.shape[0],), 1e6, jnp.float32)
+    active = jnp.ones((o.shape[0],), bool)
+    tiles = o.shape[0] // TR
+    apex = jnp.tile(jnp.asarray([[1.5, 2.5, 1.0]], jnp.float32), (tiles, 1))
+    outs, occs = [], []
+    for layout in ("rows", "fused", "lane"):
+        hit, total = ps.closest_hit_stream_flat(
+            tables, sc_min, sc_max, o, d, None,
+            tile_rays=TR, interpret=True, layout=layout,
+        )
+        outs.append((np.asarray(hit.t), np.asarray(hit.tri), int(total)))
+        occs.append(np.asarray(ps.occluded_stream_flat(
+            tables, sc_min, sc_max, o, d, r2, active, apex,
+            jnp.float32(0.02), tile_rays=TR, interpret=True, layout=layout,
+        )))
+    for t, tri, total in outs[1:]:
+        np.testing.assert_array_equal(t, outs[0][0])
+        np.testing.assert_array_equal(tri, outs[0][1])
+        assert total == outs[0][2]
+    for occ in occs[1:]:
+        np.testing.assert_array_equal(occ, occs[0])
+
+
 def test_stream_matches_bruteforce_interpret():
     scene, o, d = _scene_rays(num_quads=24)
     trace = ps.make_stream_trace_fn(scene, tile_rays=TR, interpret=True)
@@ -257,3 +291,38 @@ def test_stream_shadow_apex_matches_generic():
     a = np.asarray(act)
     np.testing.assert_array_equal(occ_apex[a], occ_ref[a])
     assert occ_ref[a].any()  # some occlusion actually exercised
+
+
+def test_twophase_shadow_matches_single_phase():
+    """occluded_stream_twophase (truncated near walk + compacted survivor
+    re-trace) equals the single-phase occlusion on every ACTIVE lane, for
+    several phase-1 depths."""
+    scene, o, d = _scene_rays(num_quads=40)
+    tables, sc_min, sc_max = ps.build_supercluster_boxes(
+        build_cluster_tables(scene), 4
+    )
+    hit = ps.make_stream_trace_fn(scene, tile_rays=TR, interpret=True)(o, d)
+    point = o + d * jnp.where(jnp.isfinite(hit.t), hit.t, 2.0)[:, None]
+    R = point.shape[0]
+    lp = jnp.asarray([[1.5, 2.5, 1.0], [-2.0, 1.5, 2.0]], jnp.float32)
+    Ll = lp.shape[0]
+    lv = lp[:, None, :] - point[None]
+    r2 = jnp.sum(lv * lv, -1)
+    ldir = lv / jnp.sqrt(r2)[..., None]
+    act = ((jnp.arange(R) % 5) != 0)[None] & jnp.ones((Ll, R), bool)
+
+    tpl = R // TR
+    apex = jnp.repeat(lp, tpl, axis=0)
+    base = np.asarray(ps.occluded_stream_flat(
+        tables, sc_min, sc_max,
+        jnp.broadcast_to(point[None], (Ll, R, 3)).reshape(-1, 3),
+        ldir.reshape(-1, 3), r2.reshape(-1), act.reshape(-1),
+        apex, jnp.float32(0.02), tile_rays=TR, interpret=True,
+    )).reshape(Ll, R)
+    lanes = np.asarray(act)
+    for k in (1, 3, 64):
+        two = np.asarray(ps.occluded_stream_twophase(
+            tables, sc_min, sc_max, point, ldir, r2, lp, act,
+            jnp.float32(0.02), tile_rays=TR, interpret=True, phase1_k=k,
+        ))
+        np.testing.assert_array_equal(two[lanes], base[lanes], err_msg=str(k))

@@ -152,3 +152,75 @@ def test_kernel_emitted_rows_match_gather(scene):
     rank = np.asarray(_morton_rank(scene, scene.num_triangles))
     got_rank = np.asarray(rows[-1]).astype(np.int64)
     np.testing.assert_array_equal(got_rank[valid], rank[tri[valid]])
+
+
+def test_near_exit_matches_default(scene):
+    """The near-origin-first early-exit walk (CRT_NEAR_EXIT) returns the
+    same hits as the Morton-order full walk: distance lower bounds only
+    allow skipping clusters that could at best TIE (first-walked-wins),
+    and the consume mask seeds inactive lanes settled."""
+    from crt_tpu.ops import camera as camera_ops
+    from crt_tpu.ops.pallas_trace import (
+        TILE_RAYS,
+        build_cluster_tables,
+        closest_hit_pallas_flat,
+    )
+
+    tables = build_cluster_tables(scene)
+    o, d = camera_ops.generate_rays(
+        scene.cam_position, scene.cam_rotation, scene.cam_tan_half_fov,
+        scene.width, scene.height,
+    )
+    o = o.reshape(-1, 3)
+    d = d.reshape(-1, 3)
+    R = (o.shape[0] // TILE_RAYS) * TILE_RAYS
+    o, d = o[:R], d[:R]
+    # a masked wavefront too: stripes of dead lanes (bounce-like)
+    act = (jnp.arange(R) % 3) != 0
+
+    for a in (None, act):
+        base = closest_hit_pallas_flat(
+            tables, o, d, a, interpret=True, near_exit=False
+        )
+        fast = closest_hit_pallas_flat(
+            tables, o, d, a, interpret=True, near_exit=True
+        )
+        lanes = np.ones(R, bool) if a is None else np.asarray(a)
+        bt, ft = np.asarray(base.t)[lanes], np.asarray(fast.t)[lanes]
+        np.testing.assert_array_equal(ft, bt)
+        bi, fi = np.asarray(base.tri)[lanes], np.asarray(fast.tri)[lanes]
+        dis = bi != fi  # cross-cluster exact-t ties may flip winners
+        assert dis.mean() < 0.005
+        np.testing.assert_array_equal(ft[dis], bt[dis])
+
+
+def test_occl_exit_matches_default(scene, monkeypatch):
+    """CRT_OCCL_EXIT (all-blocked while-exit + near order + inactive lanes
+    seeded blocked) leaves every CONSUMED occlusion bit unchanged."""
+    import importlib
+
+    import crt_tpu.ops.pallas_trace as ptr
+    from crt_tpu.ops import camera as camera_ops
+
+    o, d = camera_ops.generate_rays(
+        scene.cam_position, scene.cam_rotation, scene.cam_tan_half_fov,
+        scene.width, scene.height,
+    )
+    point = o.reshape(-1, 3) + 2.0 * d.reshape(-1, 3)  # fake hit points
+    R = (point.shape[0] // ptr.TILE_RAYS) * ptr.TILE_RAYS
+    point = point[:R]
+    lp = scene.light_position
+    Ll = lp.shape[0]
+    lv = lp[:, None, :] - point[None]
+    r2 = jnp.sum(lv * lv, -1)
+    ldir = lv / jnp.sqrt(r2)[..., None]
+    act = ((jnp.arange(R) % 4) != 0)[None] & jnp.ones((Ll, R), bool)
+
+    outs = {}
+    for flag in ("0", "1"):
+        monkeypatch.setattr(ptr, "_OCCL_EXIT", flag != "0")
+        trace = ptr.make_pallas_trace_fn(scene, interpret=True)
+        occ = trace.shadow_apex(point, ldir, r2, lp, act, 0.02)
+        outs[flag] = np.asarray(occ)
+    lanes = np.asarray(act)
+    np.testing.assert_array_equal(outs["1"][lanes], outs["0"][lanes])

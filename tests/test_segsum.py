@@ -157,3 +157,30 @@ def test_banded_vjp_drops_miss_lanes_exactly(monkeypatch):
     g_kernel = grads()
 
     np.testing.assert_allclose(g_kernel, g_scatter, rtol=2e-6, atol=1e-6)
+
+
+def test_kernel_subtiled_matches_scatter(monkeypatch):
+    """Sub-tiled grid blocks (r_sub < r_tile, round 4): every (r_tile,
+    r_sub) combination must match the scatter reference — the sub-bands
+    gate per-sub one-hot matmuls inside one grid step."""
+    rng = np.random.default_rng(11)
+    R, K, T = 9000, 7, 1200
+    tri = rng.integers(-1, T, size=R).astype(np.int32)
+    g = rng.normal(size=(K, R)).astype(np.float32)
+
+    import functools
+
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call", functools.partial(orig, interpret=True)
+    )
+    monkeypatch.setattr(ps, "_pallas_available", lambda: True)
+    expected = _reference(tri, g, T)
+    for r_tile, r_sub in ((4096, 1024), (8192, 2048), (2048, 2048)):
+        out = np.asarray(ps.segment_accumulate_matmul(
+            jnp.asarray(tri), jnp.asarray(g), T, r_tile, r_sub
+        ))
+        np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-4,
+                                   err_msg=f"{r_tile}/{r_sub}")
