@@ -36,9 +36,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu  # noqa: F401 (platform dep)
 
-R_TILE = 4096  # rays per grid step (large: ~1 us/step overhead floor;
-#   the [r_sub, T_BLK] bf16 one-hot must stay within VMEM)
-R_SUB = 4096  # rays per in-kernel sub-tile (see segment_accumulate_matmul)
+R_TILE = 8192  # rays per grid step (large: ~1 us/step overhead floor;
+#   the [r_sub, T_BLK] bf16 one-hot must stay within VMEM).  Round-4
+#   sweep (tools/exp_r4_segsum.py): (8192, 1024) best — 14-01 fwd+bwd
+#   28.35 -> 27.95 ms vs the round-3 (4096, 4096).
+R_SUB = 1024  # rays per in-kernel sub-tile (see segment_accumulate_matmul)
 T_BLK = 1024  # segment columns per grid step ([R_TILE, T_BLK] f32 = 4 MB)
 MAX_SEGMENTS = 65536  # beyond this the g re-reads outweigh the scatter
 

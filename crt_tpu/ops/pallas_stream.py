@@ -77,6 +77,17 @@ def _out_vma(*xs) -> frozenset:
     return out
 
 
+# Inside shard_map, OUT-ref reads carry the out_shape's vma while values
+# computed from INPUT-ref reads come back unvarying — a fori/while carry
+# seeded from an out ref then type-errs against the body's outputs, and
+# jax.lax.pvary is a no-op in the kernel trace context.  The kernels
+# therefore switch to REF-STATE loops when launched with a non-empty vma
+# (the loop carry is just the step index; the running (best_t, best_tri)
+# or occlusion plane lives in the out refs, which hold the vma) — a few
+# KB of extra VMEM read/write per unrolled step, only on the
+# scene-partitioned path.
+
+
 def build_supercluster_boxes(tables: ClusterTables,
                              sc_clusters: int = SC_CLUSTERS):
     """Pad the cluster axis to ``sc_clusters`` and build supercluster AABBs.
@@ -470,7 +481,7 @@ def _member_at_fn(pair_perm_ref, p, W, count):
     return member_at
 
 
-def _make_fused_kernel(occl: bool):
+def _make_fused_kernel(occl: bool, vma: tuple = ()):
     """Kernel over the "fused" layout: one [SC, 16, 18] streamed block."""
 
     def kernel(pair_tile_ref, pair_sc_ref, pair_count_ref, pair_perm_ref,
@@ -508,7 +519,7 @@ def _make_fused_kernel(occl: bool):
             d3 = (d_ref[0, 0:1, :], d_ref[0, 1:2, :], d_ref[0, 2:3, :])
             member_at = _member_at_fn(pair_perm_ref, p, W, count)
 
-            def body(k, carry):
+            def step(k, carry):
                 base = k * _STREAM_UNROLL
                 for u in range(_STREAM_UNROLL):
                     f = f_ref[member_at(base + u)]
@@ -520,14 +531,26 @@ def _make_fused_kernel(occl: bool):
                 return carry
 
             steps = (count + _STREAM_UNROLL - 1) // _STREAM_UNROLL
-            if occl:
+            if vma:
+                # ref-state loop (see module note on vma): index-only carry
+                def body_ref(k, _):
+                    if occl:
+                        occ_ref[0, 0, :] = step(k, occ_ref[0, 0:1, :])[0]
+                    else:
+                        out = step(k, (best_t_ref[0], best_tri_ref[0]))
+                        best_t_ref[0] = out[0]
+                        best_tri_ref[0] = out[1]
+                    return jnp.int32(0)
+
+                jax.lax.fori_loop(0, steps, body_ref, jnp.int32(0))
+            elif occl:
                 blocked = jax.lax.fori_loop(
-                    0, steps, body, occ_ref[0, 0:1, :]
+                    0, steps, step, occ_ref[0, 0:1, :]
                 )
                 occ_ref[0, 0, :] = blocked[0]
             else:
                 out = jax.lax.fori_loop(
-                    0, steps, body, (best_t_ref[0], best_tri_ref[0])
+                    0, steps, step, (best_t_ref[0], best_tri_ref[0])
                 )
                 best_t_ref[0] = out[0]
                 best_tri_ref[0] = out[1]
@@ -535,7 +558,7 @@ def _make_fused_kernel(occl: bool):
     return kernel
 
 
-def _make_lane_kernel(occl: bool, sc: int):
+def _make_lane_kernel(occl: bool, sc: int, vma: tuple = ()):
     """Kernel over the "lane" layout: one [1, 18, sc*16] streamed slab
     (triangle slots on lanes — proper 2 KB DMA bursts); each live member's
     [18, 16] lane window is extracted with a dynamic lane rotate and
@@ -582,7 +605,7 @@ def _make_lane_kernel(occl: bool, sc: int):
             member_at = _member_at_fn(pair_perm_ref, p, W, count)
             slab = f_ref[0]  # [18, S]
 
-            def body(k, carry):
+            def step(k, carry):
                 base = k * _STREAM_UNROLL
                 for u in range(_STREAM_UNROLL):
                     f = extract(slab, member_at(base + u))
@@ -594,14 +617,25 @@ def _make_lane_kernel(occl: bool, sc: int):
                 return carry
 
             steps = (count + _STREAM_UNROLL - 1) // _STREAM_UNROLL
-            if occl:
+            if vma:
+                def body_ref(k, _):
+                    if occl:
+                        occ_ref[0, 0, :] = step(k, occ_ref[0, 0:1, :])[0]
+                    else:
+                        out = step(k, (best_t_ref[0], best_tri_ref[0]))
+                        best_t_ref[0] = out[0]
+                        best_tri_ref[0] = out[1]
+                    return jnp.int32(0)
+
+                jax.lax.fori_loop(0, steps, body_ref, jnp.int32(0))
+            elif occl:
                 blocked = jax.lax.fori_loop(
-                    0, steps, body, occ_ref[0, 0:1, :]
+                    0, steps, step, occ_ref[0, 0:1, :]
                 )
                 occ_ref[0, 0, :] = blocked[0]
             else:
                 out = jax.lax.fori_loop(
-                    0, steps, body, (best_t_ref[0], best_tri_ref[0])
+                    0, steps, step, (best_t_ref[0], best_tri_ref[0])
                 )
                 best_t_ref[0] = out[0]
                 best_tri_ref[0] = out[1]
@@ -624,6 +658,8 @@ def _stream_kernel(
     tid_ref,  # [SC_CLUSTERS, 16] i32
     best_t_ref,  # [1, 1, TR] out (revisited across same-tile pairs)
     best_tri_ref,  # [1, 1, TR] out i32
+    *,
+    vma: tuple = (),
 ):
     p = pl.program_id(0)
     INF = jnp.float32(jnp.inf)
@@ -704,11 +740,21 @@ def _stream_kernel(
                 jnp.where(better, cl_tri, best_tri),
             )
 
-        init = (best_t_ref[0], best_tri_ref[0])
         steps = (count + _STREAM_UNROLL - 1) // _STREAM_UNROLL
-        best_t, best_tri = jax.lax.fori_loop(0, steps, body, init)
-        best_t_ref[0] = best_t
-        best_tri_ref[0] = best_tri
+        if vma:
+            # ref-state loop (see module note on vma): index-only carry
+            def body_ref(k, _):
+                out = body(k, (best_t_ref[0], best_tri_ref[0]))
+                best_t_ref[0] = out[0]
+                best_tri_ref[0] = out[1]
+                return jnp.int32(0)
+
+            jax.lax.fori_loop(0, steps, body_ref, jnp.int32(0))
+        else:
+            init = (best_t_ref[0], best_tri_ref[0])
+            best_t, best_tri = jax.lax.fori_loop(0, steps, body, init)
+            best_t_ref[0] = best_t
+            best_tri_ref[0] = best_tri
 
 
 def _stream_occl_kernel(
@@ -722,6 +768,8 @@ def _stream_occl_kernel(
     prev_ref,  # [1, 1, TR] VMEM i32 — prior-launch occlusion carry
     n_ref, nv0_ref, m_ref, c_ref, nobf_ref,
     occ_ref,  # [1, 1, TR] i32 out
+    *,
+    vma: tuple = (),
 ):
     """Occlusion-specialized stream kernel with TILE-DONE early exit.
 
@@ -794,10 +842,17 @@ def _stream_occl_kernel(
             return blocked
 
         steps = (count + _STREAM_UNROLL - 1) // _STREAM_UNROLL
-        blocked = jax.lax.fori_loop(
-            0, steps, body, occ_ref[0, 0:1, :]
-        )
-        occ_ref[0, 0, :] = blocked[0]
+        if vma:
+            def body_ref(k, _):
+                occ_ref[0, 0, :] = body(k, occ_ref[0, 0:1, :])[0]
+                return jnp.int32(0)
+
+            jax.lax.fori_loop(0, steps, body_ref, jnp.int32(0))
+        else:
+            blocked = jax.lax.fori_loop(
+                0, steps, body, occ_ref[0, 0:1, :]
+            )
+            occ_ref[0, 0, :] = blocked[0]
 
 
 def _table_operands_and_specs(tables, fused, sc: int, layout: str):
@@ -836,14 +891,16 @@ def _launch_stream_occl(tables, fused, sc, o_t, d_t, r2_t, prev_occ,
     """Occlusion launch at static grid ``cap`` -> occ [tiles, 1, TR] i32."""
     tiles = o_t.shape[0]
     W = -(-sc // _PERM_PER_WORD)
+    vma = _out_vma(o_t, d_t, r2_t, prev_occ, pair_tile, *tables)
+    vma_t = tuple(sorted(vma))
     tab_ops, tab_specs = _table_operands_and_specs(tables, fused, sc, layout)
     if layout == "rows":
         tab_ops, tab_specs = tab_ops[:-1], tab_specs[:-1]  # no tri_id
-        kernel = _stream_occl_kernel
+        kernel = functools.partial(_stream_occl_kernel, vma=vma_t)
     elif layout == "fused":
-        kernel = _make_fused_kernel(occl=True)
+        kernel = _make_fused_kernel(occl=True, vma=vma_t)
     else:
-        kernel = _make_lane_kernel(occl=True, sc=sc)
+        kernel = _make_lane_kernel(occl=True, sc=sc, vma=vma_t)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(cap,),
@@ -863,7 +920,6 @@ def _launch_stream_occl(tables, fused, sc, o_t, d_t, r2_t, prev_occ,
                          lambda p, pt, ps, pc, pm: (pt[p], 0, 0)),
         ],
     )
-    vma = _out_vma(o_t, d_t, r2_t, prev_occ, pair_tile, *tables)
     (occ,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -887,13 +943,15 @@ def _launch_stream_kernel(tables, fused, sc, o_t, d_t, pair_tile, pair_sc,
     entries of the (tile-major) pair arrays."""
     tiles = o_t.shape[0]
     W = -(-sc // _PERM_PER_WORD)
+    vma = _out_vma(o_t, d_t, pair_tile, *tables)
+    vma_t = tuple(sorted(vma))
     tab_ops, tab_specs = _table_operands_and_specs(tables, fused, sc, layout)
     if layout == "rows":
-        kernel = _stream_kernel
+        kernel = functools.partial(_stream_kernel, vma=vma_t)
     elif layout == "fused":
-        kernel = _make_fused_kernel(occl=False)
+        kernel = _make_fused_kernel(occl=False, vma=vma_t)
     else:
-        kernel = _make_lane_kernel(occl=False, sc=sc)
+        kernel = _make_lane_kernel(occl=False, sc=sc, vma=vma_t)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,  # pair_tile, pair_sc, pair_count, pair_perm
         grid=(cap,),
@@ -911,7 +969,6 @@ def _launch_stream_kernel(tables, fused, sc, o_t, d_t, pair_tile, pair_sc,
                          lambda p, pt, ps, pc, pm: (pt[p], 0, 0)),
         ],
     )
-    vma = _out_vma(o_t, d_t, pair_tile, *tables)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1323,7 +1380,9 @@ def make_stream_trace_fn(scene, pairs_cap: int | None = None,
             return occ.reshape(Ll, R)
         import os
 
-        k = int(os.environ.get("CRT_STREAM_SHADOW_K", "0"))
+        # Two-phase default K=4 (round-4 sweep: 1M-tri frame 3693 -> 2300
+        # ms, flat across K in 2..8, bit-identical sums); K=0 disables.
+        k = int(os.environ.get("CRT_STREAM_SHADOW_K", "4"))
         if k > 0:
             return occluded_stream_twophase(
                 tables, sc_min, sc_max,
