@@ -481,8 +481,15 @@ def _member_at_fn(pair_perm_ref, p, W, count):
     return member_at
 
 
-def _make_fused_kernel(occl: bool, vma: tuple = ()):
-    """Kernel over the "fused" layout: one [SC, 16, 18] streamed block."""
+def _make_f_kernel(occl: bool, vma: tuple = (), lane_sc: int | None = None):
+    """Kernel factory over the FUSED-column table layouts.
+
+    ``lane_sc`` is None for the "fused" layout (one [SC, 16, 18] streamed
+    block; member f-blocks are direct leading-dim reads) or SC_CLUSTERS
+    for the "lane" layout (one [1, 18, sc*16] slab — triangle slots on
+    lanes for proper 2 KB DMA bursts; each live member's [18, 16] lane
+    window is extracted with a dynamic lane rotate and transposed to the
+    [16, 18] shape the burst math wants)."""
 
     def kernel(pair_tile_ref, pair_sc_ref, pair_count_ref, pair_perm_ref,
                *refs):
@@ -518,11 +525,20 @@ def _make_fused_kernel(occl: bool, vma: tuple = ()):
             o3 = (o_ref[0, 0:1, :], o_ref[0, 1:2, :], o_ref[0, 2:3, :])
             d3 = (d_ref[0, 0:1, :], d_ref[0, 1:2, :], d_ref[0, 2:3, :])
             member_at = _member_at_fn(pair_perm_ref, p, W, count)
+            if lane_sc is None:
+                member_f = lambda ci: f_ref[ci]
+            else:
+                slab = f_ref[0]  # [18, S]
+
+                def member_f(ci):
+                    # member ci occupies lanes [ci*16, ci*16+16)
+                    rolled = pltpu.roll(slab, -ci * 16, axis=1)
+                    return rolled[:, :16].T  # [16, 18]
 
             def step(k, carry):
                 base = k * _STREAM_UNROLL
                 for u in range(_STREAM_UNROLL):
-                    f = f_ref[member_at(base + u)]
+                    f = member_f(member_at(base + u))
                     if occl:
                         carry = _f_test_occl(f, o3, d3, r2_ref[0, 0:1, :],
                                              carry)
@@ -533,91 +549,6 @@ def _make_fused_kernel(occl: bool, vma: tuple = ()):
             steps = (count + _STREAM_UNROLL - 1) // _STREAM_UNROLL
             if vma:
                 # ref-state loop (see module note on vma): index-only carry
-                def body_ref(k, _):
-                    if occl:
-                        occ_ref[0, 0, :] = step(k, occ_ref[0, 0:1, :])[0]
-                    else:
-                        out = step(k, (best_t_ref[0], best_tri_ref[0]))
-                        best_t_ref[0] = out[0]
-                        best_tri_ref[0] = out[1]
-                    return jnp.int32(0)
-
-                jax.lax.fori_loop(0, steps, body_ref, jnp.int32(0))
-            elif occl:
-                blocked = jax.lax.fori_loop(
-                    0, steps, step, occ_ref[0, 0:1, :]
-                )
-                occ_ref[0, 0, :] = blocked[0]
-            else:
-                out = jax.lax.fori_loop(
-                    0, steps, step, (best_t_ref[0], best_tri_ref[0])
-                )
-                best_t_ref[0] = out[0]
-                best_tri_ref[0] = out[1]
-
-    return kernel
-
-
-def _make_lane_kernel(occl: bool, sc: int, vma: tuple = ()):
-    """Kernel over the "lane" layout: one [1, 18, sc*16] streamed slab
-    (triangle slots on lanes — proper 2 KB DMA bursts); each live member's
-    [18, 16] lane window is extracted with a dynamic lane rotate and
-    transposed to the [16, 18] shape the burst math wants."""
-
-    def extract(slab, ci):
-        # slab [18, S]; member ci occupies lanes [ci*16, ci*16+16)
-        rolled = pltpu.roll(slab, -ci * 16, axis=1)
-        return rolled[:, :16].T  # [16, 18]
-
-    def kernel(pair_tile_ref, pair_sc_ref, pair_count_ref, pair_perm_ref,
-               *refs):
-        if occl:
-            o_ref, d_ref, r2_ref, prev_ref, f_ref, occ_ref = refs
-        else:
-            o_ref, d_ref, f_ref, best_t_ref, best_tri_ref = refs
-        p = pl.program_id(0)
-        W = pair_perm_ref.shape[0] // pair_tile_ref.shape[0]
-        first_of_tile = jnp.logical_or(
-            p == 0, pair_tile_ref[p] != pair_tile_ref[jnp.maximum(p - 1, 0)]
-        )
-
-        if occl:
-            @pl.when(first_of_tile)
-            def _init():
-                occ_ref[...] = prev_ref[...]
-
-            count = pair_count_ref[p]
-            done = jnp.all(occ_ref[0, 0:1, :] > 0)
-            run = (count > 0) & jnp.logical_not(done)
-        else:
-            @pl.when(first_of_tile)
-            def _init():
-                best_t_ref[...] = jnp.full_like(best_t_ref, jnp.inf)
-                best_tri_ref[...] = jnp.full_like(best_tri_ref, -1)
-
-            count = pair_count_ref[p]
-            run = count > 0
-
-        @pl.when(run)
-        def _work():
-            o3 = (o_ref[0, 0:1, :], o_ref[0, 1:2, :], o_ref[0, 2:3, :])
-            d3 = (d_ref[0, 0:1, :], d_ref[0, 1:2, :], d_ref[0, 2:3, :])
-            member_at = _member_at_fn(pair_perm_ref, p, W, count)
-            slab = f_ref[0]  # [18, S]
-
-            def step(k, carry):
-                base = k * _STREAM_UNROLL
-                for u in range(_STREAM_UNROLL):
-                    f = extract(slab, member_at(base + u))
-                    if occl:
-                        carry = _f_test_occl(f, o3, d3, r2_ref[0, 0:1, :],
-                                             carry)
-                    else:
-                        carry = _f_test_closest(f, o3, d3, carry)
-                return carry
-
-            steps = (count + _STREAM_UNROLL - 1) // _STREAM_UNROLL
-            if vma:
                 def body_ref(k, _):
                     if occl:
                         occ_ref[0, 0, :] = step(k, occ_ref[0, 0:1, :])[0]
@@ -898,9 +829,9 @@ def _launch_stream_occl(tables, fused, sc, o_t, d_t, r2_t, prev_occ,
         tab_ops, tab_specs = tab_ops[:-1], tab_specs[:-1]  # no tri_id
         kernel = functools.partial(_stream_occl_kernel, vma=vma_t)
     elif layout == "fused":
-        kernel = _make_fused_kernel(occl=True, vma=vma_t)
+        kernel = _make_f_kernel(occl=True, vma=vma_t)
     else:
-        kernel = _make_lane_kernel(occl=True, sc=sc, vma=vma_t)
+        kernel = _make_f_kernel(occl=True, vma=vma_t, lane_sc=sc)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(cap,),
@@ -949,9 +880,9 @@ def _launch_stream_kernel(tables, fused, sc, o_t, d_t, pair_tile, pair_sc,
     if layout == "rows":
         kernel = functools.partial(_stream_kernel, vma=vma_t)
     elif layout == "fused":
-        kernel = _make_fused_kernel(occl=False, vma=vma_t)
+        kernel = _make_f_kernel(occl=False, vma=vma_t)
     else:
-        kernel = _make_lane_kernel(occl=False, sc=sc, vma=vma_t)
+        kernel = _make_f_kernel(occl=False, vma=vma_t, lane_sc=sc)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,  # pair_tile, pair_sc, pair_count, pair_perm
         grid=(cap,),
