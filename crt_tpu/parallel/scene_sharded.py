@@ -220,11 +220,37 @@ def _make_partitioned_stream_fn(local_tables: ClusterTables, scene_axis: str,
         )
         return _combine_hits_across(scene_axis, local)
 
+    def _occl_local(shadow_o, light_dirs, r2, light_positions, active,
+                    origin_slack, per_tile_cap=None):
+        """One per-shard streaming occlusion pass + pmax OR-combine."""
+        Ll, R = r2.shape
+        o_flat = jnp.broadcast_to(
+            shadow_o[None], (Ll, R, 3)
+        ).reshape(-1, 3)
+        apex = jnp.repeat(light_positions, R // tile_rays, axis=0)
+        occ = ps.occluded_stream_flat(
+            tables, sc_min, sc_max, o_flat, light_dirs.reshape(-1, 3),
+            r2.reshape(-1), active.reshape(-1),
+            apex, jnp.float32(origin_slack),
+            tile_rays=tile_rays, interpret=interpret,
+            per_tile_cap=per_tile_cap,
+        )
+        occ = jax.lax.pmax(occ.astype(jnp.int32), scene_axis) > 0
+        return occ.reshape(Ll, R)
+
     def shadow_apex(shadow_o, light_dirs, r2, light_positions, active,
                     origin_slack):
         """[Ll, R] occlusion with apex shadow binning per shard; bits
         OR-combine across the scene axis (a lane is shadowed iff ANY shard
-        holds a blocker)."""
+        holds a blocker).  Two-phase (CRT_STREAM_SHADOW_K, the big-scene
+        shadow win — see ops/pallas_stream.occluded_stream_twophase)
+        composes with the partitioning: phase-1 occlusion pmax-combines
+        BEFORE compaction, so a lane blocked by any shard's near walk is
+        dropped from every shard's full phase-2 walk; the survivor
+        permutation is shard-invariant (computed from the combined bits),
+        keeping the compacted wavefront identical on all devices."""
+        import os
+
         Ll, R = r2.shape
         if use_oracle or R % tile_rays:
             sh = trace(
@@ -235,22 +261,41 @@ def _make_partitioned_stream_fn(local_tables: ClusterTables, scene_axis: str,
             sh_t = jax.lax.stop_gradient(sh.t)
             occ = (sh.tri >= 0) & (sh_t * sh_t <= r2.reshape(-1))
             return occ.reshape(Ll, R)
-        o_flat = jnp.broadcast_to(
-            jax.lax.stop_gradient(shadow_o)[None], (Ll, R, 3)
-        ).reshape(-1, 3)
-        d_flat = jax.lax.stop_gradient(light_dirs).reshape(-1, 3)
-        a_flat = jax.lax.stop_gradient(active).reshape(-1)
-        apex = jnp.repeat(
-            jax.lax.stop_gradient(light_positions), R // tile_rays, axis=0
+        shadow_o = jax.lax.stop_gradient(shadow_o)
+        light_dirs = jax.lax.stop_gradient(light_dirs)
+        r2 = jax.lax.stop_gradient(r2)
+        light_positions = jax.lax.stop_gradient(light_positions)
+        active = jax.lax.stop_gradient(active)
+
+        k = int(os.environ.get("CRT_STREAM_SHADOW_K", "4"))
+        if k <= 0:
+            return _occl_local(shadow_o, light_dirs, r2, light_positions,
+                               active, origin_slack)
+        occ1 = _occl_local(shadow_o, light_dirs, r2, light_positions,
+                           active, origin_slack, per_tile_cap=k)
+        surv = active & jnp.logical_not(occ1)
+        # per-light stable compaction (see occluded_stream_twophase)
+        perm = jnp.argsort(jnp.logical_not(surv), axis=1, stable=True)
+        d2 = jnp.take_along_axis(light_dirs, perm[..., None], axis=1)
+        o2 = jnp.take_along_axis(
+            jnp.broadcast_to(shadow_o[None], (Ll, R, 3)), perm[..., None],
+            axis=1,
         )
-        r2_flat = jax.lax.stop_gradient(r2).reshape(-1)
-        occ = ps.occluded_stream_flat(
-            tables, sc_min, sc_max, o_flat, d_flat, r2_flat, a_flat,
-            apex, jnp.float32(origin_slack),
+        r2_2 = jnp.take_along_axis(r2, perm, axis=1)
+        a2 = jnp.take_along_axis(surv, perm, axis=1)
+        apex = jnp.repeat(light_positions, R // tile_rays, axis=0)
+        occ2 = ps.occluded_stream_flat(
+            tables, sc_min, sc_max, o2.reshape(-1, 3), d2.reshape(-1, 3),
+            r2_2.reshape(-1), a2.reshape(-1), apex,
+            jnp.float32(origin_slack),
             tile_rays=tile_rays, interpret=interpret,
         )
-        occ = jax.lax.pmax(occ.astype(jnp.int32), scene_axis) > 0
-        return occ.reshape(Ll, R)
+        occ2 = (
+            jax.lax.pmax(occ2.astype(jnp.int32), scene_axis) > 0
+        ).reshape(Ll, R)
+        inv = jnp.argsort(perm, axis=1)
+        occ2_back = jnp.take_along_axis(occ2, inv, axis=1)
+        return occ1 | (occ2_back & surv)
 
     trace.shadow_apex = shadow_apex
     return trace
