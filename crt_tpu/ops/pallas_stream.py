@@ -1251,8 +1251,12 @@ def make_stream_trace_fn(scene, pairs_cap: int | None = None,
                          interpret: bool = False,
                          sc_clusters: int = SC_CLUSTERS,
                          tiered: bool = True,
-                         layout: str | None = None):
-    """trace_fn factory for the HBM-streaming backend ("pallas_stream")."""
+                         layout: str | None = None,
+                         shadow_k: int = 2):
+    """trace_fn factory for the HBM-streaming backend ("pallas_stream").
+
+    ``shadow_k``: phase-1 depth of the two-phase shadow resolution
+    (RenderSettings.stream_shadow_k; 0 = single phase)."""
     tile_rays = tile_rays or TILE_RAYS
     layout = layout or stream_layout()
     tables = build_cluster_tables(scene)
@@ -1311,9 +1315,13 @@ def make_stream_trace_fn(scene, pairs_cap: int | None = None,
             return occ.reshape(Ll, R)
         import os
 
-        # Two-phase default K=4 (round-4 sweep: 1M-tri frame 3693 -> 2300
-        # ms, flat across K in 2..8, bit-identical sums); K=0 disables.
-        k = int(os.environ.get("CRT_STREAM_SHADOW_K", "4"))
+        # Two-phase (round-4 sweep: 1M-tri frame 3693 -> 2278 ms, flat
+        # across K in 2..8, bit-identical sums); K=0 disables.
+        # Attribution (tools/exp_stream7.py): the win is mostly PHASE-2
+        # COMPACTION of the ~63 % inactive shadow lanes (miss/facing-away
+        # pixels) — phase 1 itself blocks only ~2.5 % of active lanes at
+        # K=4 — so the cheapest phase-1 depth wins.
+        k = int(os.environ.get("CRT_STREAM_SHADOW_K", str(shadow_k)))
         if k > 0:
             return occluded_stream_twophase(
                 tables, sc_min, sc_max,

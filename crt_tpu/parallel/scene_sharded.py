@@ -267,7 +267,7 @@ def _make_partitioned_stream_fn(local_tables: ClusterTables, scene_axis: str,
         light_positions = jax.lax.stop_gradient(light_positions)
         active = jax.lax.stop_gradient(active)
 
-        k = int(os.environ.get("CRT_STREAM_SHADOW_K", "4"))
+        k = int(os.environ.get("CRT_STREAM_SHADOW_K", "2"))
         if k <= 0:
             return _occl_local(shadow_o, light_dirs, r2, light_positions,
                                active, origin_slack)

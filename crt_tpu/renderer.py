@@ -107,7 +107,9 @@ def make_trace_fn(scene: Scene, settings: RenderSettings):
     if backend == "pallas_stream":
         from crt_tpu.ops.pallas_stream import make_stream_trace_fn
 
-        return make_stream_trace_fn(scene)
+        return make_stream_trace_fn(
+            scene, shadow_k=settings.stream_shadow_k
+        )
     raise ValueError(f"unknown intersection backend: {backend!r}")
 
 

@@ -208,6 +208,7 @@ _SETTINGS_FIELDS = (
     "shadow_tile_rays",
     "aov",
     "fused_light_vjp",
+    "stream_shadow_k",
 )
 
 
@@ -302,14 +303,20 @@ class RenderSettings:
     # from (point, normal) instead of storing the autodiff residuals of the
     # [Ll, R](,3) light tensors.  Forward values are bit-identical (same op
     # order); gradients match autodiff to f32 roundoff
-    # (tests/test_fused_light.py).  Escape hatch only — no known reason to
-    # disable.
-    # Round-4 A/B (tools/exp_r4_ab.py, 14-01): the hand-fused light-loop
-    # VJP is ~4.5 % SLOWER end-to-end than AD's (fwd+bwd 29.75 vs
-    # 28.41 ms) — its residual-free backward recomputes the per-light
-    # chains the AD version had cached.  Kept as a tested opt-in; the
-    # lum-sum-first forward formulation (3x less HBM) is used either way.
+    # (tests/test_fused_light.py).  Round-4 A/B (tools/exp_r4_ab.py,
+    # 14-01): ~4.5 % SLOWER end-to-end than AD's backward (fwd+bwd 29.75
+    # vs 28.41 ms) — the residual-free recompute costs more than the
+    # residual HBM it saves.  Kept as a tested opt-in; the lum-sum-first
+    # forward formulation (3x less HBM) is used either way.
     fused_light_vjp: bool = False
+    # Two-phase shadow resolution for the HBM-streaming backend
+    # (ops/pallas_stream.occluded_stream_twophase): phase 1 walks each
+    # tile's K nearest superclusters, phase 2 re-traces the surviving
+    # lanes COMPACTED per light (the measured win is packing away the
+    # ~2/3 inactive shadow lanes; 1M-tri frame 3.69 -> 2.28 s).  0
+    # disables (single phase); CRT_STREAM_SHADOW_K env overrides for
+    # experiments.
+    stream_shadow_k: int = 2
     # Auxiliary output pass instead of the beauty render: "" (beauty),
     # "bary" (the 09-01 course visualization, crt_intersection.cpp:73-74),
     # "normal", "depth", "tri_id", "albedo".  First-class so golden
