@@ -88,6 +88,9 @@ _NEAR_EXIT = os.environ.get("CRT_NEAR_EXIT", "0") != "0"
 # occlusion-specialized shadow kernel (inactive lanes seed blocked, the
 # stream path's convention).  Off by default pending the TPU A/B.
 _OCCL_EXIT = os.environ.get("CRT_OCCL_EXIT", "0") != "0"
+# In-kernel shadow directions (w-parameterized occlusion, s <= 1): skips
+# building/retiling the 8M-lane normalized-direction tensor entirely.
+_APEX_W = os.environ.get("CRT_APEX_W", "1") != "0"
 
 
 class ClusterTables(NamedTuple):
@@ -464,6 +467,57 @@ def bin_rays(tables: ClusterTables, origins, dirs, tile_rays: int | None = None,
     return order[:, None, :], counts
 
 
+def bin_apex_shared(tables: ClusterTables, shadow_o, light_positions, active,
+                    tile_rays: int | None = None, origin_slack: float = 0.0):
+    """Apex (shaft+cone+wedge) binning WITHOUT materializing the per-light
+    8M-lane wavefront: origin boxes reduce ONCE over the R pixel lanes
+    (union-of-lights active mask, the bin_shadow_rays precedent) and the
+    per-light shafts are built directly from those [tiles_per_light, 3]
+    boxes — the round-4 phase attribution measured ~3.5 ms of the 14-01
+    frame in the broadcast/retile of light_dir that only the kernel read.
+
+    shadow_o: [R, 3] biased per-pixel origins; active: [Ll, R].
+    Returns (cluster_list [Ll*tpl, 1, L], counts [Ll*tpl]).
+    """
+    tile_rays = tile_rays or TILE_RAYS
+    Ll = light_positions.shape[0]
+    R = shadow_o.shape[0]
+    tpl = R // tile_rays
+    INF = jnp.float32(3.4e38)
+
+    o = shadow_o.reshape(tpl, tile_rays, 3)
+    a_any = jnp.any(active, axis=0).reshape(tpl, tile_rays, 1)
+    o_lo = jnp.where(a_any, o, INF).min(axis=1)  # [tpl, 3]
+    o_hi = jnp.where(a_any, o, -INF).max(axis=1)
+    tile_any = jnp.any(
+        active.reshape(Ll, tpl, tile_rays), axis=2
+    ).reshape(-1)  # [Ll*tpl]
+
+    s = jnp.float32(origin_slack)
+    lp = light_positions[:, None, :]  # [Ll, 1, 3]
+    w_lo = ((o_lo - s)[None] - lp).reshape(-1, 3)  # [Ll*tpl, 3]
+    w_hi = ((o_hi + s)[None] - lp).reshape(-1, 3)
+    apex = jnp.broadcast_to(lp, (Ll, tpl, 3)).reshape(-1, 3)
+    mask = _frustum_box_mask(
+        apex, apex, w_lo, w_hi,
+        tables.cl_min - 2.0 * s, tables.cl_max + 2.0 * s,
+        t_cap=jnp.float32(1.0 + 1e-4),
+    )
+    if _SHADOW_CONE:
+        mask = mask & _apex_cone_mask(
+            apex, w_lo, w_hi, tables.cl_min, tables.cl_max, s
+        )
+    if _SHADOW_WEDGE:
+        mask = mask & _apex_wedge_mask(
+            apex, w_lo, w_hi, tables.cl_min, tables.cl_max, s
+        )
+    mask = mask & tile_any[:, None]
+
+    order = jnp.argsort(~mask, axis=1, stable=True).astype(jnp.int32)
+    counts = jnp.sum(mask, axis=1).astype(jnp.int32)
+    return order[:, None, :], counts
+
+
 def bin_shadow_rays(tables: ClusterTables, shadow_o, light_positions, active,
                     tile_rays: int | None = None, origin_slack: float = 0.0):
     """Phase A specialized for point-light shadow wavefronts.
@@ -698,6 +752,159 @@ def _occl_kernel_compact(
                 w_cond, w_body, (jnp.int32(0), init)
             )
         occ_ref[0, 0, :] = blocked[0]
+
+
+def _occl_kernel_compact_w(
+    nlive_ref,  # [1] SMEM
+    tile_ids_ref,  # [grid] SMEM live-first permutation
+    counts_ref,  # [Ll*tpl] SMEM
+    cluster_list_ref,  # [1, 1, L] SMEM (block tile_ids[p])
+    apex_ref,  # [1, 1, 3] SMEM — the tile's light position
+    o_ref,  # [1, 3, TR] VMEM biased origins (tile_mod-wrapped)
+    p_ref,  # [1, 3, TR] VMEM UNBIASED hit points (tile_mod-wrapped)
+    n_ref, nv0_ref, m_ref, c_ref, nobf_ref,
+    occ_ref,  # [1, 1, TR] i32 out
+):
+    """Occlusion with IN-KERNEL shadow directions.
+
+    The shadow ray from pixel point P toward light Lp is o_b + t·d̂ with
+    d̂ ∝ w = Lp − P; parameterized by s along the UNNORMALIZED w the ray
+    is identical and the reference's ``t² ≤ |w|²`` occlusion condition is
+    exactly ``s ≤ 1`` (|w| cancels — crt_renderer.cpp:92).  So the kernel
+    needs only the light position (3 SMEM scalars/tile) and P — the
+    8M-lane normalized-direction tensor the host built and retiled for
+    the d-consuming kernel (~3.5 ms/frame, round-4 attribution) is never
+    materialized.  The parallel-ray epsilon tests n·w instead of n·d̂
+    (stricter by |w|); a grazing triangle the reference drops as parallel
+    can here register a blocker — both readings are defensible and the
+    golden sweep decides (unchanged, see docs/PERFORMANCE.md round 4).
+    """
+    p = pl.program_id(0)
+
+    @pl.when(p < nlive_ref[0])
+    def _live():
+        count = counts_ref[tile_ids_ref[p]]
+        ox, oy, oz = o_ref[0, 0:1, :], o_ref[0, 1:2, :], o_ref[0, 2:3, :]
+        wx = apex_ref[0, 0, 0] - p_ref[0, 0:1, :]
+        wy = apex_ref[0, 0, 1] - p_ref[0, 1:2, :]
+        wz = apex_ref[0, 0, 2] - p_ref[0, 2:3, :]
+
+        def one_cluster(cl, blocked):
+            n = n_ref[cl]
+            nd = n[:, 0:1] * wx + n[:, 1:2] * wy + n[:, 2:3] * wz
+            no = n[:, 0:1] * ox + n[:, 1:2] * oy + n[:, 2:3] * oz
+            opd = nv0_ref[cl][:, None] - no
+            not_parallel = jnp.abs(nd) >= PARALLEL_EPS
+            face_ok = (opd < 0.0) | (nobf_ref[cl][:, None] > 0.5)
+            t = opd / jnp.where(not_parallel, nd, 1.0)
+            valid = not_parallel & face_ok & (t >= 0.0) & (t <= 1.0)
+            m = m_ref[cl]
+            c = c_ref[cl]
+            for e in range(3):
+                md = (
+                    m[:, 3 * e + 0 : 3 * e + 1] * wx
+                    + m[:, 3 * e + 1 : 3 * e + 2] * wy
+                    + m[:, 3 * e + 2 : 3 * e + 3] * wz
+                )
+                mo = (
+                    m[:, 3 * e + 0 : 3 * e + 1] * ox
+                    + m[:, 3 * e + 1 : 3 * e + 2] * oy
+                    + m[:, 3 * e + 2 : 3 * e + 3] * oz
+                )
+                valid = valid & ((mo - c[:, e : e + 1]) + t * md >= 0.0)
+            return blocked | jnp.any(
+                valid, axis=0, keepdims=True
+            ).astype(jnp.int32)
+
+        def body(i, blocked):
+            base = i * CLUSTER_UNROLL
+            for k in range(CLUSTER_UNROLL):
+                idx = jnp.minimum(base + k, count - 1)
+                blocked = one_cluster(cluster_list_ref[0, 0, idx], blocked)
+            return blocked
+
+        TR = o_ref.shape[2]
+        steps = (count + CLUSTER_UNROLL - 1) // CLUSTER_UNROLL
+        blocked = jax.lax.fori_loop(
+            0, steps, body, jnp.zeros((1, TR), jnp.int32)
+        )
+        occ_ref[0, 0, :] = blocked[0]
+
+
+def _occluded_binned_compact_w(
+    tables: ClusterTables,
+    o_t: jnp.ndarray,  # [tpl, 3, TR] biased origins (light-invariant)
+    p_t: jnp.ndarray,  # [tpl, 3, TR] unbiased hit points
+    apex: jnp.ndarray,  # [Ll*tpl, 1, 3] per-tile light position
+    cluster_list: jnp.ndarray,  # [Ll*tpl, 1, L]
+    counts: jnp.ndarray,  # [Ll*tpl]
+    tile_rays: int,
+    interpret: bool,
+) -> jnp.ndarray:
+    """Live-tile-compacted w-form occlusion -> blocked [Ll*tpl,1,TR] bool."""
+    tiles = counts.shape[0]
+    tpl = o_t.shape[0]
+    L = tables.n.shape[0]
+
+    live = counts > 0
+    n_live = jnp.sum(live, dtype=jnp.int32)
+    order = jnp.argsort(~live, stable=True).astype(jnp.int32)
+    step = jnp.arange(tiles, dtype=jnp.int32)
+    tile_ids = order[jnp.minimum(step, jnp.maximum(n_live - 1, 0))]
+    nlive_arr = n_live.reshape(1)
+
+    def launch(cap):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(cap,),
+            in_specs=[
+                pl.BlockSpec((1, 1, L), lambda i, nl, ts, c: (ts[i], 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 3), lambda i, nl, ts, c: (ts[i], 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 3, tile_rays),
+                             lambda i, nl, ts, c: (ts[i] % tpl, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3, tile_rays),
+                             lambda i, nl, ts, c: (ts[i] % tpl, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # n
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # nv0
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # m
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # c
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # nobf
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, tile_rays),
+                             lambda i, nl, ts, c: (ts[i], 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+        )
+        (occ,) = pl.pallas_call(
+            _occl_kernel_compact_w,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((tiles, 1, tile_rays), jnp.int32)
+            ],
+            interpret=interpret,
+        )(
+            nlive_arr, tile_ids[:cap], counts, cluster_list, apex,
+            o_t, p_t, tables.n, tables.nv0, tables.m, tables.c, tables.nobf,
+        )
+        return occ
+
+    caps = sorted({max(1, tiles >> s) for s in (3, 2, 1, 0)})
+    if len(caps) == 1:
+        occ = launch(caps[0])
+    else:
+        tier = jnp.searchsorted(
+            jnp.asarray(caps, jnp.int32), n_live, side="left"
+        )
+        tier = jnp.minimum(tier, len(caps) - 1)
+        occ = jax.lax.switch(
+            tier, [functools.partial(launch, c) for c in caps]
+        )
+    return (occ > 0) & live[:, None, None]
 
 
 def _occluded_binned_compact(
@@ -1754,6 +1961,46 @@ def make_pallas_trace_fn(scene, tile_rays: int | None = None,
         return occ.reshape(Ll, R)
 
     trace.shadow_apex = shadow_apex
+
+    def shadow_apex_w(point, shadow_o, light_positions, active,
+                      origin_slack):
+        """Occlusion masks with IN-KERNEL shadow directions -> [Ll, R]
+        bool.  ``point`` [R, 3] unbiased hit points, ``shadow_o`` [R, 3]
+        biased origins — the kernel derives each lane's unnormalized
+        direction w = light − point from 3 SMEM scalars per tile and
+        tests the reference's occlusion condition as s ≤ 1 (|w| cancels
+        exactly).  The 8M-lane light_dir build + retile this replaces
+        measured ~3.5 ms/frame (round-4 attribution); binning reduces
+        origin boxes once over the pixel lanes (bin_apex_shared)."""
+        Ll, R = active.shape
+        st = shadow_tile_rays or tile_rays
+        if R % st:
+            return None  # caller falls back to the generic path
+        cluster_list, counts = bin_apex_shared(
+            tables,
+            jax.lax.stop_gradient(shadow_o),
+            jax.lax.stop_gradient(light_positions),
+            jax.lax.stop_gradient(active),
+            st,
+            origin_slack,
+        )
+        tpl = R // st
+        o_t = jax.lax.stop_gradient(shadow_o).reshape(
+            tpl, st, 3
+        ).swapaxes(1, 2)
+        p_t = jax.lax.stop_gradient(point).reshape(
+            tpl, st, 3
+        ).swapaxes(1, 2)
+        apex = jnp.repeat(
+            jax.lax.stop_gradient(light_positions), tpl, axis=0
+        )[:, None, :]  # [Ll*tpl, 1, 3] (SMEM blocks: last dims whole)
+        occ = _occluded_binned_compact_w(
+            tables, o_t, p_t, apex, cluster_list, counts, st, interpret
+        )
+        return occ.reshape(Ll, R)
+
+    if _SHADOW_OCCL_KERNEL and _APEX_W:
+        trace.shadow_apex_w = shadow_apex_w
 
     def trace_reordered(origins, dirs, active=None):
         """Trace with wavefront compaction: rays sorted by (Morton cell of

@@ -464,11 +464,32 @@ def _occlusion_masks(scene, trace_fn, point, normal, light_positions,
         return jnp.ones(r2.shape, bool), light_dir, r2
 
     shadow_o_px = point + normal * shadow_bias  # [R, 3], light-invariant
-    shadow_o = jnp.broadcast_to(shadow_o_px, light_vec.shape).reshape(-1, 3)
     # Lanes facing away from the light contribute zero regardless of
     # occlusion (cos_law clamps to 0) — drop them from the binning mask.
     facing = vecmath.dot(light_dir, jnp.broadcast_to(normal[None], light_vec.shape)) > 0.0
     act_lr = shadow_active[None] & jax.lax.stop_gradient(facing)  # [Ll, R]
+
+    apex_w_fn = getattr(trace_fn, "shadow_apex_w", None)
+    if (apex_w_fn is not None and point.ndim == 2
+            and not (scene.has_refractive and scene.refractions_on)):
+        # In-kernel shadow directions: the kernel derives each lane's
+        # unnormalized w = light - point from the hit points and tests
+        # the reference's occlusion condition as s <= 1 (exactly
+        # equivalent, |w| cancels) — the [Ll*R, 3] normalized-direction
+        # build + retile below never materializes (~3.5 ms on the 14-01
+        # frame, round-4 attribution).
+        occluded = apex_w_fn(
+            jax.lax.stop_gradient(point),
+            jax.lax.stop_gradient(shadow_o_px),
+            light_positions,
+            act_lr,
+            2.0 * shadow_bias,
+        )
+        if occluded is not None:
+            occluded = checkpoint_name(occluded.reshape(-1), "trace_out")
+            return ~occluded.reshape(r2.shape), light_dir, r2
+
+    shadow_o = jnp.broadcast_to(shadow_o_px, light_vec.shape).reshape(-1, 3)
     act = act_lr.reshape(-1)
     d = light_dir.reshape(-1, 3)
     r2_flat = jax.lax.stop_gradient(r2).reshape(-1)

@@ -70,3 +70,40 @@ def test_render_uses_occlusion_path(scene, monkeypatch):
         render_image(scene, RenderSettings(backend="pallas"), jit=False)
     )
     np.testing.assert_allclose(with_occ, without, rtol=1e-6, atol=1e-7)
+
+
+def test_shadow_apex_w_matches_apex(scene):
+    """The w-parameterized occlusion (in-kernel directions, s <= 1) must
+    agree with the normalized-direction apex path on every active lane up
+    to boundary-rounding flips (the ray is identical; only the hit-test
+    arithmetic's rounding differs)."""
+    from crt_tpu.ops import vecmath
+
+    trace = make_pallas_trace_fn(scene, interpret=True)
+    assert hasattr(trace, "shadow_apex_w")
+    o, d = camera_ops.generate_rays(
+        scene.cam_position, scene.cam_rotation, scene.cam_tan_half_fov,
+        scene.width, scene.height,
+    )
+    o = o.reshape(-1, 3)
+    d = d.reshape(-1, 3)
+    hit = trace(o, d)
+    t = jnp.where(jnp.isfinite(hit.t), hit.t, 2.0)
+    point = o + d * t[:, None]
+    R = point.shape[0]
+    lp = scene.light_position
+    Ll = lp.shape[0]
+    lv = lp[:, None, :] - point[None]
+    r2 = jnp.sum(lv * lv, -1)
+    ldir = vecmath.safe_normalize(lv)
+    act = ((jnp.arange(R) % 6) != 0)[None] & jnp.ones((Ll, R), bool) \
+        & (hit.tri >= 0)[None]
+    shadow_o = point + 1e-2 * vecmath.safe_normalize(point)
+
+    base = np.asarray(trace.shadow_apex(
+        shadow_o, ldir, r2, lp, act, 2e-2
+    ))
+    w = np.asarray(trace.shadow_apex_w(point, shadow_o, lp, act, 2e-2))
+    lanes = np.asarray(act)
+    dis = (w != base) & lanes
+    assert dis.mean() < 0.005, dis.mean()
