@@ -162,8 +162,9 @@ def segment_accumulate_matmul(
     rays per in-kernel sub-tile: each grid step statically unrolls
     r_tile/r_sub band-gated one-hot matmuls, so the ~1 us/step grid
     sequencing floor amortizes while the [r_sub, T_BLK] one-hot stays
-    within VMEM and the finer sub-bands skip more work (round 4: 4096/4096
-    -> 16384/1024 cut the 14-01 banded VJP's grid steps 4x).
+    within VMEM and the finer sub-bands skip more work (round-4 sweep
+    winner, shipped as the defaults: r_tile=8192 / r_sub=1024 — fwd+bwd
+    28.35 -> 27.95 ms on 14-01 vs the prior 4096/4096).
     """
     if not _pallas_available():
         return _segment_accumulate_xla(

@@ -1125,8 +1125,11 @@ def _trace_tile_body(count, cluster_list_ref, o_ref, d_ref, n_ref, nv0_ref,
 
         def w_cond(state):
             i, best_t = state[0], state[1]
+            # count==0 tiles (non-compact launches run them) must not read
+            # SMEM index -1: clamp to 0 — the value is unused, (i < steps)
+            # is already false, but & does not short-circuit.
             nb = lb_ref[cl_row, 0, jnp.minimum(i * CLUSTER_UNROLL,
-                                               count - 1)]
+                                               jnp.maximum(count - 1, 0))]
             settled = best_t <= nb
             if skip is not None:
                 settled = settled | skip

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -57,6 +58,37 @@ from crt_tpu.scene.types import (
 )
 
 _PI = math.pi
+
+# Lane compaction by occupancy for the transmissive shadow march (the 11-01
+# refractive cost): pack the ACTIVE lanes of the [Ll*B*R] shadow wavefront
+# to the front before each trace so dead pixel tiles actually FORM and the
+# binning's tile_any/count==0 skip drops them.  Without it the bank pool's
+# sparse live lanes are scattered through every tile (a 1024-lane tile with
+# 5 % scattered actives still walks its full cluster list), which is why
+# plain tile-skipping (compact_bounces) measured only -5 % while cost stayed
+# ∝ B×R (docs/PERFORMANCE.md round 4).  Bit-exact: the march is lane-wise
+# and the binned trace is exact under any lane order.  Flag for A/B only.
+_SHADOW_COMPACT = os.environ.get("CRT_SHADOW_COMPACT", "1") != "0"
+
+
+def lane_partition(alive: jnp.ndarray):
+    """Stable partition of lane indices: active lanes first.
+
+    Returns ``(pos, perm)`` with ``pos[i]`` = compact position of original
+    lane ``i`` and ``perm[j]`` = original lane at compact position ``j``
+    (mutually inverse permutations).  Equivalent to the stable argsort of
+    ``~alive`` but O(n): two cumsums and one unique-index scatter instead
+    of a bitonic sort over the wavefront.
+    """
+    ai = alive.astype(jnp.int32)
+    rank_act = jnp.cumsum(ai) - 1
+    rank_dead = jnp.cumsum(1 - ai) - 1
+    n_act = rank_act[-1] + 1
+    pos = jnp.where(alive, rank_act, n_act + rank_dead)
+    perm = jnp.zeros(pos.shape, jnp.int32).at[pos].set(
+        jnp.arange(pos.shape[0], dtype=jnp.int32)
+    )
+    return pos, perm
 
 # 07-01-scene era light direction (unit), reconstructed from the committed
 # golden renders — see the legacy branch in _shade_level and
@@ -616,6 +648,20 @@ def _occlusion_masks(scene, trace_fn, point, normal, light_positions,
         d = jnp.where(cont[..., None], new_d, d)
         return o, d, cont, last_valid, last_t
 
+    def compacted_march_step(carry):
+        # Lane-compact by occupancy (see _SHADOW_COMPACT): permute the
+        # active lanes to the front, march there, un-permute.  Recomputed
+        # per step so the glass-marching SURVIVORS (far sparser than the
+        # first segment's diffuse lanes) shrink every re-trace too.  All
+        # consumed outputs are masked by ``alive`` inside march_step, so
+        # results are bit-identical under any permutation.
+        pos, perm = lane_partition(carry[2])
+        carry_c = tuple(x[perm] for x in carry)
+        carry_c = march_step(carry_c)
+        return tuple(x[pos] for x in carry_c)
+
+    step_fn = compacted_march_step if _SHADOW_COMPACT else march_step
+
     carry = (
         shadow_o,
         d,
@@ -623,14 +669,14 @@ def _occlusion_masks(scene, trace_fn, point, normal, light_positions,
         jnp.zeros(act.shape, bool),
         jnp.zeros(act.shape, jnp.float32),
     )
-    carry = march_step(carry)  # first segment: every diffuse shadow ray
+    carry = step_fn(carry)  # first segment: every diffuse shadow ray
     for _ in range(max_ray_depth):
         # Bent continuations only exist where glass occludes a light path —
         # usually no lanes at all, so the whole step (trace + gather) sits
         # under a cond.  Python loop (not scan): trace_fn's binning tiers
         # may specialize per call site, and max_ray_depth is tiny.
         carry = jax.lax.cond(
-            jnp.any(carry[2]), march_step, lambda c: c, carry
+            jnp.any(carry[2]), step_fn, lambda c: c, carry
         )
     *_, last_valid, last_t = carry
 

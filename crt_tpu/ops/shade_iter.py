@@ -54,6 +54,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -61,10 +62,12 @@ import jax.numpy as jnp
 
 from crt_tpu.ops import rng as rng_mod
 from crt_tpu.ops import vecmath
+from crt_tpu.ops.intersect import Hit
 from crt_tpu.ops.shade import (
     _hadamard,
     _occlusion_masks,
     hit_attributes,
+    lane_partition,
     light_lum,
 )
 from crt_tpu.ops.texture import sample_textures
@@ -76,6 +79,15 @@ from crt_tpu.scene.types import (
 )
 
 _PI = math.pi
+
+# Lane-compact the pool's bounce traces by occupancy (see
+# shade.lane_partition): within an occupied bank the live lanes (refractive
+# continuations, Fresnel-pair children) are SCATTERED through the pixel
+# tiles, so binning's tile_any skip drops nothing; packing them first turns
+# sparsity into dead tiles.  Trace-only — the Hit is un-permuted before
+# shading, so downstream masking semantics are untouched.  Applied to
+# non-GI iter scenes (the refractive bank pool); flag for A/B.
+_POOL_COMPACT = os.environ.get("CRT_POOL_COMPACT", "1") != "0"
 
 
 def default_banks(scene, settings) -> int:
@@ -261,7 +273,16 @@ def shade_wavefront_iter_with_stats(
         crt_renderer.cpp:47-48).
         """
         C = (o.shape[0],)
-        hit = trace_fn(o, d, act)
+        if _POOL_COMPACT and not scene.gi_on and not vary_axes:
+            # Occupancy compaction around the trace only: inactive lanes'
+            # hit values are garbage either way (masked by ``act`` below),
+            # so permuting changes no consumed output.  GI pools keep their
+            # near-full occupancy — compaction would be pure overhead.
+            pos, perm = lane_partition(act)
+            hit_c = trace_fn(o[perm], d[perm], act[perm])
+            hit = Hit(t=hit_c.t[pos], tri=hit_c.tri[pos])
+        else:
+            hit = trace_fn(o, d, act)
         attrs = hit_attributes(scene, o, d, hit, rows_fn=rows_fn)
         valid = attrs.valid & act
         miss = act & ~attrs.valid

@@ -159,7 +159,8 @@ def _resolve_shard_backend(local_tables: ClusterTables, backend: str,
 def _make_partitioned_stream_fn(local_tables: ClusterTables, scene_axis: str,
                                 tile_rays: int | None = None,
                                 sc_clusters: int | None = None,
-                                interpret: bool | None = None):
+                                interpret: bool | None = None,
+                                shadow_k: int = 2):
     """Partitioned trace through the HBM-STREAMING kernel — the >VMEM(/HBM)
     regime: each device streams its table shard's supercluster slices
     HBM->VMEM (ops/pallas_stream) and partial hits pmin-combine across the
@@ -267,7 +268,10 @@ def _make_partitioned_stream_fn(local_tables: ClusterTables, scene_axis: str,
         light_positions = jax.lax.stop_gradient(light_positions)
         active = jax.lax.stop_gradient(active)
 
-        k = int(os.environ.get("CRT_STREAM_SHADOW_K", "2"))
+        # RenderSettings.stream_shadow_k plumbed from the renderer (matches
+        # the flat path, pallas_stream.make_stream_trace_fn); the env var
+        # remains the A/B override only.
+        k = int(os.environ.get("CRT_STREAM_SHADOW_K", str(shadow_k)))
         if k <= 0:
             return _occl_local(shadow_o, light_dirs, r2, light_positions,
                                active, origin_slack)
@@ -306,7 +310,8 @@ def make_partitioned_trace_fn(local_tables: ClusterTables, scene_axis: str,
                               vmem_budget_bytes: int = 12 << 20,
                               stream_tile_rays: int | None = None,
                               sc_clusters: int | None = None,
-                              stream_interpret: bool | None = None):
+                              stream_interpret: bool | None = None,
+                              stream_shadow_k: int = 2):
     """trace_fn over a LOCAL cluster-table shard + pmin combine.
 
     Must be called inside shard_map.  ``active`` masks feed the Pallas
@@ -322,6 +327,7 @@ def make_partitioned_trace_fn(local_tables: ClusterTables, scene_axis: str,
         return _make_partitioned_stream_fn(
             local_tables, scene_axis, tile_rays=stream_tile_rays,
             sc_clusters=sc_clusters, interpret=stream_interpret,
+            shadow_k=stream_shadow_k,
         )
 
     def trace(origins, dirs, active=None):
@@ -429,6 +435,7 @@ def render_image_scene_sharded(
             tables_local, scene_axis, local_backend,
             vmem_budget_bytes=vmem_budget_bytes,
             stream_tile_rays=stream_tile_rays, sc_clusters=sc_clusters,
+            stream_shadow_k=settings.stream_shadow_k,
         )
         rows_fn = make_partitioned_rows_fn(
             packed_local, shard_tris, scene_axis
@@ -551,6 +558,7 @@ def scene_sharded_value_and_grad(
                 tables_local, scene_axis, local_backend,
                 vmem_budget_bytes=vmem_budget_bytes,
                 stream_tile_rays=stream_tile_rays, sc_clusters=sc_clusters,
+                stream_shadow_k=settings.stream_shadow_k,
             )
             rows_fn = make_partitioned_rows_fn(
                 packed_local, shard_tris, scene_axis
