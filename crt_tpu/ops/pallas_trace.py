@@ -219,7 +219,8 @@ def emit_rows_table(scene, tables: ClusterTables) -> jnp.ndarray:
 # Phase A: tile frustums + cluster binning (plain XLA)
 # ---------------------------------------------------------------------------
 
-def _frustum_box_mask(o_lo, o_hi, d_lo, d_hi, bmin, bmax, t_cap=None):
+def _frustum_box_mask(o_lo, o_hi, d_lo, d_hi, bmin, bmax, t_cap=None,
+                      t_lo_clamp: bool = True):
     """Conservative interval slab test: [tiles] frustums vs [L] boxes.
 
     Returns [tiles, L] bool, True if ANY ray with origin in [o_lo, o_hi] and
@@ -230,6 +231,9 @@ def _frustum_box_mask(o_lo, o_hi, d_lo, d_hi, bmin, bmax, t_cap=None):
     ``t_cap`` (scalar or [tiles], in the interval's OWN direction scale)
     additionally requires the earliest possible entry to lie at t <= t_cap —
     used by shadow binning to cull clusters entirely beyond the light.
+    ``t_lo_clamp=False`` admits the FULL LINE below t_cap (t unbounded
+    negative): the apex-side parameterization of the uncapped glass-gate
+    ray, whose beyond-the-light region sits at apex-t < 0.
     """
     INF = jnp.float32(3.4e38)
     o_lo = o_lo[:, None, :]
@@ -250,7 +254,8 @@ def _frustum_box_mask(o_lo, o_hi, d_lo, d_hi, bmin, bmax, t_cap=None):
 
     t_ent = jnp.where(pos, ent_pos, jnp.where(neg, ent_neg, -INF))
     t_ext = jnp.where(pos, ext_pos, jnp.where(neg, ext_neg, INF))
-    t_ent = jnp.maximum(t_ent, 0.0)
+    if t_lo_clamp:
+        t_ent = jnp.maximum(t_ent, 0.0)
 
     t_ent_max = jnp.max(t_ent, axis=-1)
     ok = t_ent_max <= jnp.min(t_ext, axis=-1)
@@ -468,13 +473,21 @@ def bin_rays(tables: ClusterTables, origins, dirs, tile_rays: int | None = None,
 
 
 def bin_apex_shared(tables: ClusterTables, shadow_o, light_positions, active,
-                    tile_rays: int | None = None, origin_slack: float = 0.0):
+                    tile_rays: int | None = None, origin_slack: float = 0.0,
+                    boxes=None, capped: bool = True):
     """Apex (shaft+cone+wedge) binning WITHOUT materializing the per-light
     8M-lane wavefront: origin boxes reduce ONCE over the R pixel lanes
     (union-of-lights active mask, the bin_shadow_rays precedent) and the
     per-light shafts are built directly from those [tiles_per_light, 3]
     boxes — the round-4 phase attribution measured ~3.5 ms of the 14-01
     frame in the broadcast/retile of light_dir that only the kernel read.
+
+    ``boxes`` ((cl_min, cl_max)) overrides the cluster AABBs — e.g. the
+    refractive-member-only boxes of the glass-gate query (clusters with no
+    member in the subset carry ±INF boxes and are never admitted).
+    ``capped=False`` drops the beyond-the-light t-cap: the shaft becomes
+    the unbounded cone from the light through the origin box (the glass
+    gate tests the whole ray, not the segment).
 
     shadow_o: [R, 3] biased per-pixel origins; active: [Ll, R].
     Returns (cluster_list [Ll*tpl, 1, L], counts [Ll*tpl]).
@@ -484,6 +497,9 @@ def bin_apex_shared(tables: ClusterTables, shadow_o, light_positions, active,
     R = shadow_o.shape[0]
     tpl = R // tile_rays
     INF = jnp.float32(3.4e38)
+    cl_min, cl_max = boxes if boxes is not None else (
+        tables.cl_min, tables.cl_max
+    )
 
     o = shadow_o.reshape(tpl, tile_rays, 3)
     a_any = jnp.any(active, axis=0).reshape(tpl, tile_rays, 1)
@@ -498,18 +514,24 @@ def bin_apex_shared(tables: ClusterTables, shadow_o, light_positions, active,
     w_lo = ((o_lo - s)[None] - lp).reshape(-1, 3)  # [Ll*tpl, 3]
     w_hi = ((o_hi + s)[None] - lp).reshape(-1, 3)
     apex = jnp.broadcast_to(lp, (Ll, tpl, 3)).reshape(-1, 3)
+    # capped: the [origin, light] segment = apex-side t in [0, 1] — shaft
+    # slab + cone + wedge refinements.  uncapped (glass gate): the FULL
+    # shadow ray (origin -> light -> beyond) = apex-side t in (-inf, 1];
+    # cone/wedge assume the t >= 0 side, so slab-only with the lower clamp
+    # dropped (glass clusters are few — loose binning is fine).
     mask = _frustum_box_mask(
         apex, apex, w_lo, w_hi,
-        tables.cl_min - 2.0 * s, tables.cl_max + 2.0 * s,
+        cl_min - 2.0 * s, cl_max + 2.0 * s,
         t_cap=jnp.float32(1.0 + 1e-4),
+        t_lo_clamp=capped,
     )
-    if _SHADOW_CONE:
+    if capped and _SHADOW_CONE:
         mask = mask & _apex_cone_mask(
-            apex, w_lo, w_hi, tables.cl_min, tables.cl_max, s
+            apex, w_lo, w_hi, cl_min, cl_max, s
         )
-    if _SHADOW_WEDGE:
+    if capped and _SHADOW_WEDGE:
         mask = mask & _apex_wedge_mask(
-            apex, w_lo, w_hi, tables.cl_min, tables.cl_max, s
+            apex, w_lo, w_hi, cl_min, cl_max, s
         )
     mask = mask & tile_any[:, None]
 
@@ -762,8 +784,10 @@ def _occl_kernel_compact_w(
     apex_ref,  # [1, 1, 3] SMEM — the tile's light position
     o_ref,  # [1, 3, TR] VMEM biased origins (tile_mod-wrapped)
     p_ref,  # [1, 3, TR] VMEM UNBIASED hit points (tile_mod-wrapped)
-    n_ref, nv0_ref, m_ref, c_ref, nobf_ref,
-    occ_ref,  # [1, 1, TR] i32 out
+    *rest,  # [gm if member_masked/glass_flag], n, nv0, m, c, nobf, outs
+    capped: bool = True,
+    member_masked: bool = False,
+    glass_flag: bool = False,
 ):
     """Occlusion with IN-KERNEL shadow directions.
 
@@ -778,7 +802,24 @@ def _occl_kernel_compact_w(
     (stricter by |w|); a grazing triangle the reference drops as parallel
     can here register a blocker — both readings are defensible and the
     golden sweep decides (unchanged, see docs/PERFORMANCE.md round 4).
+
+    ``capped=False`` drops the ``s ≤ 1`` condition: any-hit along the
+    UNBOUNDED ray — the transmissive-march split's glass-intersection
+    gate (a refractive surface anywhere on the ray can bend it, even
+    beyond the light: crt_renderer.cpp:29-44 walks uncapped).
+    ``member_masked`` adds a per-slot [L, S] f32 multiplier restricting
+    hits to a triangle subset (the refractive members) without
+    rebuilding tables.  ``glass_flag`` instead keeps ALL members in the
+    occlusion reduction and emits a SECOND output: "some refractive
+    member (per the same [L, S] mask) hits within the segment" — the
+    one-pass march-split router (see shade._occlusion_masks).
     """
+    if member_masked or glass_flag:
+        gm_ref, *rest = rest
+    if glass_flag:
+        n_ref, nv0_ref, m_ref, c_ref, nobf_ref, occ_ref, gls_ref = rest
+    else:
+        n_ref, nv0_ref, m_ref, c_ref, nobf_ref, occ_ref = rest
     p = pl.program_id(0)
 
     @pl.when(p < nlive_ref[0])
@@ -789,7 +830,8 @@ def _occl_kernel_compact_w(
         wy = apex_ref[0, 0, 1] - p_ref[0, 1:2, :]
         wz = apex_ref[0, 0, 2] - p_ref[0, 2:3, :]
 
-        def one_cluster(cl, blocked):
+        def one_cluster(cl, carry):
+            blocked = carry[0] if glass_flag else carry
             n = n_ref[cl]
             nd = n[:, 0:1] * wx + n[:, 1:2] * wy + n[:, 2:3] * wz
             no = n[:, 0:1] * ox + n[:, 1:2] * oy + n[:, 2:3] * oz
@@ -797,7 +839,11 @@ def _occl_kernel_compact_w(
             not_parallel = jnp.abs(nd) >= PARALLEL_EPS
             face_ok = (opd < 0.0) | (nobf_ref[cl][:, None] > 0.5)
             t = opd / jnp.where(not_parallel, nd, 1.0)
-            valid = not_parallel & face_ok & (t >= 0.0) & (t <= 1.0)
+            valid = not_parallel & face_ok & (t >= 0.0)
+            if capped:
+                valid = valid & (t <= 1.0)
+            if member_masked:
+                valid = valid & (gm_ref[cl][:, None] > 0.5)
             m = m_ref[cl]
             c = c_ref[cl]
             for e in range(3):
@@ -812,23 +858,35 @@ def _occl_kernel_compact_w(
                     + m[:, 3 * e + 2 : 3 * e + 3] * oz
                 )
                 valid = valid & ((mo - c[:, e : e + 1]) + t * md >= 0.0)
-            return blocked | jnp.any(
+            new_blocked = blocked | jnp.any(
                 valid, axis=0, keepdims=True
             ).astype(jnp.int32)
+            if not glass_flag:
+                return new_blocked
+            glass = carry[1] | jnp.any(
+                valid & (gm_ref[cl][:, None] > 0.5), axis=0, keepdims=True
+            ).astype(jnp.int32)
+            return (new_blocked, glass)
 
-        def body(i, blocked):
+        def body(i, carry):
             base = i * CLUSTER_UNROLL
             for k in range(CLUSTER_UNROLL):
                 idx = jnp.minimum(base + k, count - 1)
-                blocked = one_cluster(cluster_list_ref[0, 0, idx], blocked)
-            return blocked
+                carry = one_cluster(cluster_list_ref[0, 0, idx], carry)
+            return carry
 
         TR = o_ref.shape[2]
         steps = (count + CLUSTER_UNROLL - 1) // CLUSTER_UNROLL
-        blocked = jax.lax.fori_loop(
-            0, steps, body, jnp.zeros((1, TR), jnp.int32)
-        )
-        occ_ref[0, 0, :] = blocked[0]
+        init = jnp.zeros((1, TR), jnp.int32)
+        if glass_flag:
+            blocked, glass = jax.lax.fori_loop(
+                0, steps, body, (init, init)
+            )
+            occ_ref[0, 0, :] = blocked[0]
+            gls_ref[0, 0, :] = glass[0]
+        else:
+            blocked = jax.lax.fori_loop(0, steps, body, init)
+            occ_ref[0, 0, :] = blocked[0]
 
 
 def _occluded_binned_compact_w(
@@ -840,8 +898,15 @@ def _occluded_binned_compact_w(
     counts: jnp.ndarray,  # [Ll*tpl]
     tile_rays: int,
     interpret: bool,
-) -> jnp.ndarray:
-    """Live-tile-compacted w-form occlusion -> blocked [Ll*tpl,1,TR] bool."""
+    capped: bool = True,
+    member_mask: jnp.ndarray | None = None,  # [L, S] f32 triangle subset
+    glass_flag: bool = False,
+):
+    """Live-tile-compacted w-form occlusion -> blocked [Ll*tpl,1,TR] bool.
+
+    ``glass_flag``: keep all members in the occlusion reduction and ALSO
+    return a second [Ll*tpl,1,TR] bool — "some member_mask member hits
+    within the segment" (the one-pass transmissive-march router)."""
     tiles = counts.shape[0]
     tpl = o_t.shape[0]
     L = tables.n.shape[0]
@@ -852,46 +917,58 @@ def _occluded_binned_compact_w(
     step = jnp.arange(tiles, dtype=jnp.int32)
     tile_ids = order[jnp.minimum(step, jnp.maximum(n_live - 1, 0))]
     nlive_arr = n_live.reshape(1)
+    n_out = 2 if glass_flag else 1
 
     def launch(cap):
+        in_specs = [
+            pl.BlockSpec((1, 1, L), lambda i, nl, ts, c: (ts[i], 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 3), lambda i, nl, ts, c: (ts[i], 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3, tile_rays),
+                         lambda i, nl, ts, c: (ts[i] % tpl, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, tile_rays),
+                         lambda i, nl, ts, c: (ts[i] % tpl, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands = [
+            nlive_arr, tile_ids[:cap], counts, cluster_list, apex, o_t, p_t,
+        ]
+        if member_mask is not None:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # gm
+            operands.append(member_mask)
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # n
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # nv0
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # m
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # c
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # nobf
+        ]
+        operands += [tables.n, tables.nv0, tables.m, tables.c, tables.nobf]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(cap,),
-            in_specs=[
-                pl.BlockSpec((1, 1, L), lambda i, nl, ts, c: (ts[i], 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, 3), lambda i, nl, ts, c: (ts[i], 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 3, tile_rays),
-                             lambda i, nl, ts, c: (ts[i] % tpl, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 3, tile_rays),
-                             lambda i, nl, ts, c: (ts[i] % tpl, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # n
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # nv0
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # m
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # c
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # nobf
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((1, 1, tile_rays),
                              lambda i, nl, ts, c: (ts[i], 0, 0),
                              memory_space=pltpu.VMEM),
-            ],
+            ] * n_out,
         )
-        (occ,) = pl.pallas_call(
-            _occl_kernel_compact_w,
+        outs = pl.pallas_call(
+            functools.partial(
+                _occl_kernel_compact_w, capped=capped,
+                member_masked=member_mask is not None and not glass_flag,
+                glass_flag=glass_flag,
+            ),
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((tiles, 1, tile_rays), jnp.int32)
-            ],
+            ] * n_out,
             interpret=interpret,
-        )(
-            nlive_arr, tile_ids[:cap], counts, cluster_list, apex,
-            o_t, p_t, tables.n, tables.nv0, tables.m, tables.c, tables.nobf,
-        )
-        return occ
+        )(*operands)
+        return jnp.stack(outs) if glass_flag else outs[0]
 
     caps = sorted({max(1, tiles >> s) for s in (3, 2, 1, 0)})
     if len(caps) == 1:
@@ -904,6 +981,9 @@ def _occluded_binned_compact_w(
         occ = jax.lax.switch(
             tier, [functools.partial(launch, c) for c in caps]
         )
+    if glass_flag:
+        lm = live[:, None, None]
+        return (occ[0] > 0) & lm, (occ[1] > 0) & lm
     return (occ > 0) & live[:, None, None]
 
 
@@ -1014,9 +1094,15 @@ def _trace_tile_body(count, cluster_list_ref, o_ref, d_ref, n_ref, nv0_ref,
 
     ``lb_ref`` ([1, 1, L] SMEM f32, ascending): per-walk-position hit-t
     lower bounds from near-origin-first binning (bin_rays near_order) —
-    the walk becomes a while_loop that EXITS once every consuming lane
-    (``act_ref`` [1, 1, TR], or all lanes when None) has best_t <= the
-    next position's bound.  Exact under the first-walked-wins tie rule."""
+    the walk becomes a while_loop that EXITS once every lane is SETTLED:
+    ``min(best_t, bound) <= next lb``, where ``act_ref`` [1, 1, TR] f32
+    carries each lane's SETTLE BOUND — its conservative scene-box exit
+    distance (every real hit satisfies t <= exit, so once the remaining
+    clusters' lower bound passes it the lane's outcome — hit OR MISS —
+    is final; round-4's version had no bound, so open-scene miss lanes
+    held every tile's walk open: the measured +12 % GI regression),
+    or -1 for unconsumed lanes (settled immediately).  Exact under the
+    first-walked-wins tie rule."""
     if emit_k:
         rows_ref, best_t_ref, best_tri_ref, best_rows_ref = rest
     else:
@@ -1119,9 +1205,9 @@ def _trace_tile_body(count, cluster_list_ref, o_ref, d_ref, n_ref, nv0_ref,
         out = jax.lax.fori_loop(0, steps, body, init)
     else:
         if act_ref is not None:
-            skip = act_ref[0, 0:1, lo:hi] <= 0.5  # [1, TR] unconsumed lanes
+            bound = act_ref[0, 0:1, lo:hi]  # [1, TR] settle bounds
         else:
-            skip = None
+            bound = None
 
         def w_cond(state):
             i, best_t = state[0], state[1]
@@ -1130,9 +1216,8 @@ def _trace_tile_body(count, cluster_list_ref, o_ref, d_ref, n_ref, nv0_ref,
             # is already false, but & does not short-circuit.
             nb = lb_ref[cl_row, 0, jnp.minimum(i * CLUSTER_UNROLL,
                                                jnp.maximum(count - 1, 0))]
-            settled = best_t <= nb
-            if skip is not None:
-                settled = settled | skip
+            eff = best_t if bound is None else jnp.minimum(best_t, bound)
+            settled = eff <= nb
             return (i < steps) & jnp.logical_not(jnp.all(settled))
 
         def w_body(state):
@@ -1665,10 +1750,23 @@ def closest_hit_pallas_flat(
         cluster_list, counts, lb = bin_rays(
             tables, origins, dirs, tile_rays, active, near_order=True
         )
+        # Per-lane SETTLE BOUND: a conservative scene-box exit distance.
+        # Every real hit lies inside the global cluster box, so t_hit <=
+        # exit; once the walk's remaining lower bound passes it the lane
+        # is final even on a MISS — the fix for round-4's open-scene
+        # regression (miss lanes held the while-exit open forever).
+        lo = tables.cl_min.min(axis=0)
+        hi = tables.cl_max.max(axis=0)
+        small = jnp.abs(dirs) < 1e-12
+        dsafe = jnp.where(small, 1.0, dirs)
+        tx1 = (lo[None] - origins) / dsafe
+        tx2 = (hi[None] - origins) / dsafe
+        tex = jnp.where(small, jnp.float32(3.4e38),
+                        jnp.maximum(tx1, tx2)).min(axis=-1)
+        tex = tex * 1.0001 + 1e-4  # upward slack for f32 rounding
         if active is not None:
-            act_t = active.astype(jnp.float32).reshape(
-                tiles, 1, tile_rays
-            )
+            tex = jnp.where(active, tex, -1.0)
+        act_t = tex.reshape(tiles, 1, tile_rays)
     else:
         cluster_list, counts = bin_rays(
             tables, origins, dirs, tile_rays, active
@@ -2004,6 +2102,121 @@ def make_pallas_trace_fn(scene, tile_rays: int | None = None,
 
     if _SHADOW_OCCL_KERNEL and _APEX_W:
         trace.shadow_apex_w = shadow_apex_w
+
+    def _glass_subset():
+        """[L, S] f32 refractive-member mask + member-only cluster AABBs.
+
+        Same tables, no rebuild: clusters keep their slots; non-glass
+        members are masked in-kernel and the binning boxes shrink to the
+        glass members (clusters with none carry ±INF boxes -> never
+        admitted).  Static shapes — safe under jit with traced values.
+        """
+        from crt_tpu.scene.types import MATERIAL_REFRACTIVE
+
+        INF = jnp.float32(3.4e38)
+        ids = jnp.maximum(tables.tri_id, 0)
+        padm = tables.tri_id < 0
+        is_glass = (
+            scene.mat_type[scene.tri_material] == MATERIAL_REFRACTIVE
+        )[ids] & ~padm  # [L, S]
+        pts = jax.lax.stop_gradient(scene.vertices)[
+            scene.tri_vidx[ids]
+        ]  # [L, S, 3, 3]
+        g = is_glass[..., None, None]
+        gmin = jnp.where(g, pts, INF).min(axis=(1, 2))  # [L, 3]
+        gmax = jnp.where(g, pts, -INF).max(axis=(1, 2))
+        return is_glass.astype(jnp.float32), gmin, gmax
+
+    def shadow_apex_w_glass(point, shadow_o, light_positions, active,
+                            origin_slack):
+        """ONE w-kernel pass -> (occluded [Ll, R], glass_in_segment
+        [Ll, R]): same occlusion bits as shadow_apex_w plus "some
+        REFRACTIVE member hits within the segment" — the one-pass
+        transmissive-march router (shade._occlusion_masks).  A lane with
+        no in-segment glass resolves exactly as if all blockers were
+        opaque (its closest in-segment hit, if any, is non-refractive, so
+        the bend-walk would stop there); only glass-flagged lanes pay the
+        faithful march.  Deviation vs the reference's UNCAPPED walk
+        (crt_renderer.cpp:29-44): refractive geometry strictly beyond the
+        light no longer bends an unblocked lane — set
+        CRT_MARCH_GATE=uncapped for the separate exact gate."""
+        Ll, R = active.shape
+        st = shadow_tile_rays or tile_rays
+        if R % st:
+            return None
+        gm, _, _ = _glass_subset()
+        cluster_list, counts = bin_apex_shared(
+            tables,
+            jax.lax.stop_gradient(shadow_o),
+            jax.lax.stop_gradient(light_positions),
+            jax.lax.stop_gradient(active),
+            st,
+            origin_slack,
+        )
+        tpl = R // st
+        o_t = jax.lax.stop_gradient(shadow_o).reshape(
+            tpl, st, 3
+        ).swapaxes(1, 2)
+        p_t = jax.lax.stop_gradient(point).reshape(
+            tpl, st, 3
+        ).swapaxes(1, 2)
+        apex = jnp.repeat(
+            jax.lax.stop_gradient(light_positions), tpl, axis=0
+        )[:, None, :]
+        occ, glass = _occluded_binned_compact_w(
+            tables, o_t, p_t, apex, cluster_list, counts, st, interpret,
+            member_mask=gm, glass_flag=True,
+        )
+        return occ.reshape(Ll, R), glass.reshape(Ll, R)
+
+    if _SHADOW_OCCL_KERNEL and _APEX_W and scene.has_materials \
+            and scene.has_refractive:
+        trace.shadow_apex_w_glass = shadow_apex_w_glass
+
+    def refr_ray_hit_w(point, shadow_o, light_positions, active,
+                       origin_slack):
+        """[Ll, R] bool: can the UNCAPPED shadow ray touch refractive
+        geometry?  The transmissive-march split's partition gate (see
+        shade._occlusion_masks): lanes whose ray never meets glass resolve
+        through the plain w-kernel occlusion; only glass-suspect lanes pay
+        the faithful bend-walk.  w-parameterized like shadow_apex_w (same
+        |n·w| epsilon reading), any-hit with s >= 0 and NO s <= 1 cap —
+        the reference's walk (crt_renderer.cpp:29-44) bends at refractive
+        hits even beyond the light."""
+        Ll, R = active.shape
+        st = shadow_tile_rays or tile_rays
+        if R % st:
+            return None  # caller falls back to the full march
+        gm, gmin, gmax = _glass_subset()
+        cluster_list, counts = bin_apex_shared(
+            tables,
+            jax.lax.stop_gradient(shadow_o),
+            jax.lax.stop_gradient(light_positions),
+            jax.lax.stop_gradient(active),
+            st,
+            origin_slack,
+            boxes=(gmin, gmax),
+            capped=False,
+        )
+        tpl = R // st
+        o_t = jax.lax.stop_gradient(shadow_o).reshape(
+            tpl, st, 3
+        ).swapaxes(1, 2)
+        p_t = jax.lax.stop_gradient(point).reshape(
+            tpl, st, 3
+        ).swapaxes(1, 2)
+        apex = jnp.repeat(
+            jax.lax.stop_gradient(light_positions), tpl, axis=0
+        )[:, None, :]
+        occ = _occluded_binned_compact_w(
+            tables, o_t, p_t, apex, cluster_list, counts, st, interpret,
+            capped=False, member_mask=gm,
+        )
+        return occ.reshape(Ll, R)
+
+    if _SHADOW_OCCL_KERNEL and _APEX_W and scene.has_materials \
+            and scene.has_refractive:
+        trace.refr_ray_hit_w = refr_ray_hit_w
 
     def trace_reordered(origins, dirs, active=None):
         """Trace with wavefront compaction: rays sorted by (Morton cell of

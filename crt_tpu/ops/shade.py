@@ -59,16 +59,22 @@ from crt_tpu.scene.types import (
 
 _PI = math.pi
 
-# Lane compaction by occupancy for the transmissive shadow march (the 11-01
-# refractive cost): pack the ACTIVE lanes of the [Ll*B*R] shadow wavefront
-# to the front before each trace so dead pixel tiles actually FORM and the
-# binning's tile_any/count==0 skip drops them.  Without it the bank pool's
-# sparse live lanes are scattered through every tile (a 1024-lane tile with
-# 5 % scattered actives still walks its full cluster list), which is why
-# plain tile-skipping (compact_bounces) measured only -5 % while cost stayed
-# ∝ B×R (docs/PERFORMANCE.md round 4).  Bit-exact: the march is lane-wise
-# and the binned trace is exact under any lane order.  Flag for A/B only.
-_SHADOW_COMPACT = os.environ.get("CRT_SHADOW_COMPACT", "1") != "0"
+# Lane compaction by occupancy for the transmissive shadow march — MEASURED
+# DEAD (round 5): the permute gathers cost ~155 ms/step at the 4.19M-lane
+# scene8 wavefront (the XLA:TPU gather pathology) while compacted tiles'
+# cluster counts inflate to cancel the tile reduction — 2969 -> 25361 ms at
+# 540p.  Kept as an opt-in A/B flag; the shipped fix is the MARCH SPLIT
+# below (_MARCH_SPLIT).  Bit-exact either way (tests/test_lane_compact.py).
+_SHADOW_COMPACT = os.environ.get("CRT_SHADOW_COMPACT", "0") != "0"
+# Transmissive-march split: partition shadow lanes by "does refractive
+# geometry touch this ray" — glass-free lanes take the w-kernel occlusion
+# fast path and only glass-suspect lanes pay the faithful bend-walk.  See
+# the inline note in _occlusion_masks.  _MARCH_GATE picks the router:
+# "capped" (default; glass flag piggybacks on the opaque w-pass, zero
+# extra traces, deviates from the reference walk only for glass strictly
+# beyond the light) or "uncapped" (separate reference-exact gate pass).
+_MARCH_SPLIT = os.environ.get("CRT_MARCH_SPLIT", "1") != "0"
+_MARCH_GATE = os.environ.get("CRT_MARCH_GATE", "capped")
 
 
 def lane_partition(alive: jnp.ndarray):
@@ -526,6 +532,70 @@ def _occlusion_masks(scene, trace_fn, point, normal, light_positions,
     d = light_dir.reshape(-1, 3)
     r2_flat = jax.lax.stop_gradient(r2).reshape(-1)
 
+    # Transmissive-march SPLIT (round 5, the 11-01 shadow-volume fix): the
+    # march's L*B*R closest-hit walks are ~90 % of a refractive frame, yet
+    # for the vast majority of lanes the shadow ray never meets glass and
+    # the walk degenerates to one closest-hit + t^2<=r2 compare == plain
+    # opaque occlusion.  So: one cheap UNCAPPED any-hit against the
+    # refractive members only (refr_ray_hit_w — uncapped because the
+    # reference's walk bends at glass even beyond the light) partitions
+    # the wavefront; glass-free lanes resolve through the w-kernel
+    # occlusion fast path and ONLY glass-suspect lanes pay the faithful
+    # bend-walk below.  Exact up to the w-kernel's documented
+    # boundary-measure epsilon reading (|n·w| vs |n·d|, pallas_trace
+    # kernel docstring); lanes with |w| < 1 — where that reading is
+    # WEAKER, not stricter — are routed to the march unconditionally.
+    occ_opaque = None
+    opaque_act = None
+    if _MARCH_SPLIT and point.ndim == 2:
+        sg = jax.lax.stop_gradient
+        if _MARCH_GATE != "uncapped":
+            # One-pass router (the default): the w-kernel opaque pass also
+            # reports "some refractive member hits within the segment" —
+            # no separate gate trace at all.  Lanes without in-segment
+            # glass resolve exactly (their closest in-segment hit, if any,
+            # is opaque); the capped flag deviates from the reference's
+            # uncapped walk only for glass strictly beyond the light.
+            glass_fn = getattr(trace_fn, "shadow_apex_w_glass", None)
+            if glass_fn is not None:
+                res = glass_fn(
+                    sg(point), sg(shadow_o_px), light_positions, act_lr,
+                    2.0 * shadow_bias,
+                )
+                if res is not None:
+                    occ_opaque, glass = res
+                    march_lr = act_lr & (
+                        glass | (jax.lax.stop_gradient(r2) <= 1.0)
+                    )
+                    opaque_act = act_lr & ~march_lr
+                    act = march_lr.reshape(-1)
+        else:
+            # CRT_MARCH_GATE=uncapped: the reference-exact gate — a
+            # separate any-hit along the UNBOUNDED ray against the glass
+            # members (bends beyond the light included), then the plain
+            # w-kernel pass on the glass-free lanes.  ~One extra shadow
+            # pass per bounce; semantics purist's path.
+            gate_fn = getattr(trace_fn, "refr_ray_hit_w", None)
+            apexw_fn = getattr(trace_fn, "shadow_apex_w", None)
+            if gate_fn is not None and apexw_fn is not None:
+                glass = gate_fn(
+                    sg(point), sg(shadow_o_px), light_positions, act_lr,
+                    2.0 * shadow_bias,
+                )
+                if glass is not None:
+                    march_lr = act_lr & (
+                        glass | (jax.lax.stop_gradient(r2) <= 1.0)
+                    )
+                    opaque_act = act_lr & ~march_lr
+                    occ_opaque = apexw_fn(
+                        sg(point), sg(shadow_o_px), light_positions,
+                        opaque_act, 2.0 * shadow_bias,
+                    )
+                    if occ_opaque is not None:
+                        act = march_lr.reshape(-1)
+                    else:
+                        opaque_act = None
+
     if not (scene.has_refractive and scene.refractions_on):
         shadow_fn = getattr(trace_fn, "shadow_occluded", None)
         if shadow_fn is not None and point.ndim == 2:
@@ -662,26 +732,84 @@ def _occlusion_masks(scene, trace_fn, point, normal, light_positions,
 
     step_fn = compacted_march_step if _SHADOW_COMPACT else march_step
 
-    carry = (
-        shadow_o,
-        d,
-        act,  # rays still marching through glass
-        jnp.zeros(act.shape, bool),
-        jnp.zeros(act.shape, jnp.float32),
-    )
-    carry = step_fn(carry)  # first segment: every diffuse shadow ray
-    for _ in range(max_ray_depth):
-        # Bent continuations only exist where glass occludes a light path —
-        # usually no lanes at all, so the whole step (trace + gather) sits
-        # under a cond.  Python loop (not scan): trace_fn's binning tiers
-        # may specialize per call site, and max_ray_depth is tiny.
-        carry = jax.lax.cond(
-            jnp.any(carry[2]), step_fn, lambda c: c, carry
-        )
-    *_, last_valid, last_t = carry
+    # Experiment knob: cap the bent-continuation depth (phase attribution
+    # of the first trace vs the re-traces).  Semantics-changing — never
+    # set outside experiments.
+    max_ray_depth = int(os.environ.get("CRT_MARCH_DEPTH", max_ray_depth))
 
-    occluded = last_valid & (last_t * last_t <= r2_flat)
-    occluded = checkpoint_name(occluded, "trace_out")
+    def run_march(o0, d0, a0):
+        """The faithful bend-walk at any wavefront width -> (valid, t)."""
+        carry = (
+            o0, d0, a0,  # a0: rays still marching through glass
+            jnp.zeros(a0.shape, bool),
+            jnp.zeros(a0.shape, jnp.float32),
+        )
+        carry = step_fn(carry)  # first segment
+        for _ in range(max_ray_depth):
+            # Bent continuations only exist where glass occludes a light
+            # path — often no lanes at all, so the step (trace + gather)
+            # sits under a cond.  Python loop (not scan): trace_fn's
+            # binning tiers may specialize per call site; depth is tiny.
+            carry = jax.lax.cond(
+                jnp.any(carry[2]), step_fn, lambda c: c, carry
+            )
+        *_, last_valid, last_t = carry
+        return last_valid, last_t
+
+    R_flat = act.shape[0]
+    BLK = 1024  # pixel-tile quantum (renderer.TILE_H * TILE_W)
+    n_blk = R_flat // BLK if R_flat % BLK == 0 else 0
+    cap_blk = -(-n_blk // 4)
+    if os.environ.get("CRT_MARCH_NARROW", "1") == "0":  # A/B knob
+        n_blk = 0
+    if occ_opaque is not None and n_blk > 0 and cap_blk < n_blk:
+        # TILE-NARROW MARCH: every marching survivor is a subset of the
+        # initial glass-suspect set (cont ⊆ alive at every step), and the
+        # glass-suspect lanes live in SPATIALLY COHERENT pixel regions —
+        # so the whole walk (first trace + all cond re-traces, the
+        # 91 %-of-shadow-cost term) runs over just the LIVE 1024-lane
+        # blocks, gathered contiguously into a cap_blk-block buffer.
+        # Narrowing at BLOCK granularity is the load-bearing choice: the
+        # per-LANE version (jnp.nonzero + scatter over the 4.19M-lane
+        # wavefront, ~78 ms per bounce) measured 1.9 s of pure overhead
+        # at 540p, while the block index build is a 4096-element nonzero
+        # and the gathers move whole contiguous blocks (and pixel-tile
+        # coherence — what the binning frustums feed on — is preserved
+        # exactly).  Overflow (> cap_blk live blocks) falls back to the
+        # full-width walk under a cond.
+        blk_live = act.reshape(n_blk, BLK).any(axis=1)
+        n_live = jnp.sum(blk_live, dtype=jnp.int32)
+
+        def narrow(_):
+            idx = jnp.nonzero(blk_live, size=cap_blk, fill_value=0)[0]
+            slot_ok = jnp.arange(cap_blk, dtype=jnp.int32) < n_live
+            o_b = shadow_o.reshape(n_blk, BLK, 3)[idx].reshape(-1, 3)
+            d_b = d.reshape(n_blk, BLK, 3)[idx].reshape(-1, 3)
+            a_b = (act.reshape(n_blk, BLK)[idx]
+                   & slot_ok[:, None]).reshape(-1)
+            lv, lt = run_march(o_b, d_b, a_b)
+            sidx = jnp.where(slot_ok, idx, n_blk)  # OOB -> dropped
+            full_v = jnp.zeros((n_blk, BLK), bool).at[sidx].set(
+                lv.reshape(cap_blk, BLK), mode="drop"
+            ).reshape(-1)
+            full_t = jnp.zeros((n_blk, BLK), jnp.float32).at[sidx].set(
+                lt.reshape(cap_blk, BLK), mode="drop"
+            ).reshape(-1)
+            return full_v, full_t
+
+        last_valid, last_t = jax.lax.cond(
+            n_live <= cap_blk, narrow,
+            lambda _: run_march(shadow_o, d, act), None,
+        )
+    else:
+        last_valid, last_t = run_march(shadow_o, d, act)
+
+    occluded = (last_valid & (last_t * last_t <= r2_flat)).reshape(r2.shape)
+    if occ_opaque is not None:
+        # merge the split: march verdicts on glass-suspect lanes, w-kernel
+        # verdicts on the rest (each masked to its own partition)
+        occluded = occluded | (occ_opaque.reshape(r2.shape) & opaque_act)
+    occluded = checkpoint_name(occluded.reshape(-1), "trace_out")
     return ~occluded.reshape(r2.shape), light_dir, r2
 
 

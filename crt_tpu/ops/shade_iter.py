@@ -85,9 +85,11 @@ _PI = math.pi
 # continuations, Fresnel-pair children) are SCATTERED through the pixel
 # tiles, so binning's tile_any skip drops nothing; packing them first turns
 # sparsity into dead tiles.  Trace-only — the Hit is un-permuted before
-# shading, so downstream masking semantics are untouched.  Applied to
-# non-GI iter scenes (the refractive bank pool); flag for A/B.
-_POOL_COMPACT = os.environ.get("CRT_POOL_COMPACT", "1") != "0"
+# shading, so downstream masking semantics are untouched.  Round-5 A/Bs
+# were session-noisy (pool-only −17 % in one session, +12 % on top of the
+# march split in another — the full-width permute gathers are the risk);
+# default OFF, opt-in flag.  Bit-exact (tests/test_lane_compact.py).
+_POOL_COMPACT = os.environ.get("CRT_POOL_COMPACT", "0") != "0"
 
 
 def default_banks(scene, settings) -> int:

@@ -77,3 +77,98 @@ def test_refractive_render_bit_identical_with_compaction(flag, monkeypatch):
 
     assert np.isfinite(img_on).all()
     np.testing.assert_array_equal(img_on, img_off)
+
+
+def test_march_split_bit_identical(monkeypatch):
+    """The transmissive-march SPLIT (glass-gate + w-kernel opaque path +
+    narrow march) must reproduce the full-width faithful walk bit-exactly
+    on a scene with no grazing-glass boundary lanes."""
+    import crt_tpu.renderer as renderer
+    from crt_tpu.ops.pallas_trace import make_pallas_trace_fn
+
+    orig = renderer.make_trace_fn
+
+    def patched(scn, settings):
+        if settings.backend == "pallas":
+            return make_pallas_trace_fn(scn, interpret=True)
+        return orig(scn, settings)
+
+    monkeypatch.setattr(renderer, "make_trace_fn", patched)
+    monkeypatch.setattr(shade_mod, "_SHADOW_COMPACT", False)
+    monkeypatch.setattr(shade_iter_mod, "_POOL_COMPACT", False)
+
+    scene = make_test_scene(width=64, height=32, num_quads=6,
+                            with_refractive=True)
+    settings = RenderSettings(backend="pallas", max_ray_depth=3,
+                              wavefront="iter")
+
+    monkeypatch.setattr(shade_mod, "_MARCH_SPLIT", True)
+    img_on = np.asarray(render_image(scene, settings, jit=False))
+    monkeypatch.setattr(shade_mod, "_MARCH_SPLIT", False)
+    img_off = np.asarray(render_image(scene, settings, jit=False))
+
+    assert np.isfinite(img_on).all()
+    np.testing.assert_array_equal(img_on, img_off)
+
+
+def test_refr_ray_hit_gate_superset():
+    """The glass gate must flag every lane whose shadow ray actually hits
+    refractive geometry (superset; exactness is the kernel's business)."""
+    import jax
+    from crt_tpu.ops import camera as camera_ops
+    from crt_tpu.ops import vecmath
+    from crt_tpu.ops.pallas_trace import make_pallas_trace_fn
+    from crt_tpu.renderer import make_tiler
+    from crt_tpu.scene.types import MATERIAL_REFRACTIVE
+
+    scene = make_test_scene(width=64, height=32, num_quads=6,
+                            with_refractive=True)
+    trace = make_pallas_trace_fn(scene, interpret=True)
+    assert hasattr(trace, "refr_ray_hit_w")
+
+    rx, ry, _ = make_tiler(scene.height, scene.width)
+    o, d = camera_ops.generate_rays(
+        scene.cam_position, scene.cam_rotation, scene.cam_tan_half_fov,
+        scene.width, scene.height, rx, ry,
+    )
+    hit = trace(o, d)
+    t = jnp.where(hit.tri >= 0, hit.t, 0.0)
+    point = o + d * t[:, None]
+    shadow_o = point + 1e-3 * jnp.asarray([0.0, 1.0, 0.0])
+    lp = scene.light_position
+    act = jnp.broadcast_to((hit.tri >= 0)[None], (lp.shape[0], o.shape[0]))
+
+    gate = np.asarray(trace.refr_ray_hit_w(point, shadow_o, lp, act, 2e-3))
+
+    # brute-force truth: does the (uncapped) shadow ray hit ANY refractive
+    # triangle?  march through ALL triangles in f64
+    verts = np.asarray(scene.vertices, np.float64)
+    tvi = np.asarray(scene.tri_vidx)
+    mat = np.asarray(scene.mat_type)[np.asarray(scene.tri_material)]
+    glass = mat == MATERIAL_REFRACTIVE
+    gv0 = verts[tvi[glass, 0]]
+    gv1 = verts[tvi[glass, 1]]
+    gv2 = verts[tvi[glass, 2]]
+    n_t = np.cross(gv1 - gv0, gv2 - gv0)
+    nl = np.linalg.norm(n_t, axis=-1, keepdims=True)
+    n_t = n_t / np.maximum(nl, 1e-300)
+
+    so = np.asarray(shadow_o, np.float64)
+    pp = np.asarray(point, np.float64)
+    lpn = np.asarray(lp, np.float64)
+    for l in range(lpn.shape[0]):
+        w = lpn[l][None] - pp  # [R, 3]
+        nd = w @ n_t.T  # [R, T]
+        opd = (n_t * gv0).sum(-1)[None] - so @ n_t.T
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tt = opd / nd
+        hitp = so[:, None, :] + tt[..., None] * w[:, None, :]
+        # inside test via edge half-spaces
+        ok = (np.abs(nd) >= 2e-6) & (tt >= 1e-6)
+        for e, (a, b) in enumerate(((gv0, gv1), (gv1, gv2), (gv2, gv0))):
+            m = np.cross(n_t, b - a)
+            ok &= ((hitp - a[None]) * m[None]).sum(-1) >= 1e-9
+        truth = ok.any(-1) & np.asarray(act)[l]
+        flagged = gate[l]
+        missed = truth & ~flagged
+        assert not missed.any(), f"gate missed {missed.sum()} glass lanes"

@@ -1,0 +1,233 @@
+"""Forensic demonstration of the 12-01-scene3 residual (VERDICT r4 #4).
+
+Claim to verify (currently a hypothesis in CLAUDE.md): every pixel where
+our TPU render disagrees with the committed golden is a NEAREST-TEXEL
+TRUNCATION FLIP — the f64 texel coordinate sits on (within f32-noise of)
+a texel boundary, the golden equals the reference-f32 shading of one side
+and our render the shading of the adjacent side — plus possibly a handful
+of triangle-silhouette flips of the same boundary character.  If any
+mismatched pixel is NOT explained this way, that is a real renderer bug.
+
+Method:
+  1. our image: render 12-01-textures/scene3 through the committed TPU
+     path (same profile as the golden sweep), quantized to bytes;
+  2. reference pipeline at dtype={f32 (exact ref op order), f64}:
+     camera -> plane hit -> barycentric uv -> texel coords, plus the f32
+     per-pixel luminance factor (tools/oracle_ref_f32.py, golden-exact);
+  3. for every mismatched pixel: try to explain the (golden, ours) byte
+     pair as (texel A, adjacent texel B) under the same luminance, with
+     the f64 texel coordinate within a small margin of the A|B boundary.
+
+Usage: python tools/forensic_12_01.py [--save out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+SCENE_DIR = "/root/reference/scenes/12-01-textures"
+GOLD = "/root/reference/results/png/12-01-textures-scene3.png"
+W, H = 1920, 1080
+TW, TH = 540, 360
+
+
+def pipeline(dtype):
+    """Reference expression order at ``dtype`` over the full frame.
+
+    Returns dict with hit mask, uv, texel coords/indices, and the scalar
+    luminance factor (texel * lum = linear color).  dtype=f32 reproduces
+    the golden exactly (tools/oracle_ref_f32.py); f64 is the ground-truth
+    geometry the flips are measured against.
+    """
+    F = lambda x: np.asarray(x, dtype)
+
+    def cross(ax, ay, az, bx, by, bz):
+        return (F(ay * bz - az * by), F(az * bx - ax * bz),
+                F(ax * by - ay * bx))
+
+    def length(x, y, z):
+        return np.sqrt(F(F(x * x) + F(y * y)) + F(z * z))
+
+    pi = F(np.float32(np.pi)) if dtype == np.float32 else F(np.pi)
+    fov_rad = F(F(F(90.0) * pi) / F(180.0))
+    half = F(fov_rad * F(0.5))
+    tanh = np.tan(half, dtype=dtype)
+    xs = np.arange(W, dtype=dtype)
+    ys = np.arange(H, dtype=dtype)
+    dx = F((xs + F(0.5)) / F(W))
+    dy = F((ys + F(0.5)) / F(H))
+    sx = F(F(F(2.0) * dx) - F(1.0))
+    sy = F(F(1.0) - F(F(2.0) * dy))
+    sx = F(sx * F(F(W) / F(H)))
+    sx = F(sx * tanh)
+    sy = F(sy * tanh)
+    DX, DY = np.meshgrid(sx, sy)
+    DZ = np.full_like(DX, F(-1.0))
+    ln = length(DX, DY, DZ)
+    DX, DY, DZ = F(DX / ln), F(DY / ln), F(DZ / ln)
+
+    v0 = F([-1.75, -1.75, -3.0])
+    v1 = F([1.75, -1.75, -3.0])
+    v2 = F([0.0, 1.75, -3.0])
+    uv1b, uv2b = F([1.0, 0.0]), F([0.5, 1.0])
+
+    e0, e1, e2 = v1 - v0, v2 - v1, v0 - v2
+    fn = cross(*(v1 - v0), *(v2 - v0))
+    fl = length(*fn)
+    fn = (F(fn[0] / fl), F(fn[1] / fl), F(fn[2] / fl))
+
+    rnd = F(F(F(fn[0] * DX) + F(fn[1] * DY)) + F(fn[2] * DZ))
+    opd = F(F(F(fn[0] * v0[0]) + F(fn[1] * v0[1])) + F(fn[2] * v0[2]))
+    t = F(opd / rnd)
+    PX, PY, PZ = F(DX * t), F(DY * t), F(DZ * t)
+
+    v0px, v0py, v0pz = F(PX - v0[0]), F(PY - v0[1]), F(PZ - v0[2])
+    v1px, v1py, v1pz = F(PX - v1[0]), F(PY - v1[1]), F(PZ - v1[2])
+    v2px, v2py, v2pz = F(PX - v2[0]), F(PY - v2[1]), F(PZ - v2[2])
+
+    def edge_d(e, px, py, pz):
+        cx, cy, cz = cross(e[0], e[1], e[2], px, py, pz)
+        return F(F(F(fn[0] * cx) + F(fn[1] * cy)) + F(fn[2] * cz))
+
+    ed0 = edge_d(e0, v0px, v0py, v0pz)
+    ed1 = edge_d(e1, v1px, v1py, v1pz)
+    ed2 = edge_d(e2, v2px, v2py, v2pz)
+    hit = ((np.abs(rnd) >= F(1e-6)) & (t >= F(0.0))
+           & (ed0 >= F(0.0)) & (ed1 >= F(0.0)) & (ed2 >= F(0.0)))
+
+    v0v1, v0v2 = e0, -e2
+    denom = length(*cross(*v0v1, *v0v2))
+    nu = length(*cross(v0px, v0py, v0pz, v0v2[0], v0v2[1], v0v2[2]))
+    nv = length(*cross(v0v1[0], v0v1[1], v0v1[2], v0px, v0py, v0pz))
+    bu = F(nu / denom)
+    bv = F(nv / denom)
+    one_m = F(F(F(1.0) - bu) - bv)
+    uvx = F(F(F(uv1b[0] * bu) + F(uv2b[0] * bv)) + F(0.0))
+    uvy = F(F(F(uv1b[1] * bu) + F(uv2b[1] * bv)) + F(0.0))
+
+    cx = F(uvx * F(TW))  # texel-space coordinate, trunc -> index
+    cy = F(F(F(1.0) - uvy) * F(TH))
+    rx = np.trunc(cx).astype(np.int64) % TW
+    ry = np.trunc(cy).astype(np.int64) % TH
+
+    lp = F([5.0, 5.0, 6.0])
+    intensity = F(1000.0)
+    ldx, ldy, ldz = F(lp[0] - PX), F(lp[1] - PY), F(lp[2] - PZ)
+    r2 = F(F(F(ldx * ldx) + F(ldy * ldy)) + F(ldz * ldz))
+    lln = np.sqrt(r2)
+    ldx, ldy, ldz = F(ldx / lln), F(ldy / lln), F(ldz / lln)
+    cosl = np.maximum(
+        F(0.0), F(F(F(ldx * fn[0]) + F(ldy * fn[1])) + F(ldz * fn[2]))
+    )
+    area = F(F(F(4.0) * pi) * r2)
+    lum_over = F(intensity / area) * cosl  # texel * lum = color
+
+    return dict(hit=hit, cx=cx, cy=cy, rx=rx, ry=ry, lum=lum_over,
+                edge_min=np.minimum(np.minimum(ed0, ed1), ed2))
+
+
+def main(argv):
+    from crt_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    from PIL import Image
+
+    from crt_tpu import RenderSettings, load_scene, render_image
+    from crt_tpu.io import jpeg_stb
+    from crt_tpu.io.ppm import quantize
+
+    tex = jpeg_stb.decode_file(f"{SCENE_DIR}/textures/dragon.jpg")
+    tex = tex.astype(np.float32) / np.float32(255.0)
+    gold = np.asarray(Image.open(GOLD).convert("RGB"), np.int64)
+
+    scene = load_scene(f"{SCENE_DIR}/scene3.crtscene")
+    ours_f = np.asarray(render_image(scene, RenderSettings()))
+    ours = quantize(ours_f).astype(np.int64)
+
+    tol = 2  # match_stats: within 2.5/255 per channel after /255
+    mism = ~(np.abs(ours - gold) <= tol).all(-1)
+    ref32 = pipeline(np.float32)
+    ref64 = pipeline(np.float64)
+
+    # sanity: the f32 pipeline IS the golden (oracle_ref_f32 result)
+    q32 = np.clip(np.trunc(np.float32(
+        np.where(ref32["hit"][..., None],
+                 tex[ref32["ry"], ref32["rx"]] * ref32["lum"][..., None],
+                 np.float32([0.0, 0.5, 0.0]))
+        * np.float32(255.0)).astype(np.int64)), 0, 255)
+    assert (q32 == gold).all(), "ref-f32 oracle no longer golden-exact!"
+
+    ys, xs = np.nonzero(mism)
+    n = len(ys)
+    print(f"mismatched pixels: {n} ({n / (W * H) * 100:.3f} %)")
+
+    silhouette = explained = unexplained = 0
+    boundary_dists = []
+    unexplained_list = []
+    for y, x in zip(ys, xs):
+        # silhouette flip: the f64 edge distance is within f32 noise of 0
+        # (the hit test itself flips) — boundary character, not texel
+        if not ref64["hit"][y, x] or abs(ref64["edge_min"][y, x]) < 1e-5:
+            silhouette += 1
+            continue
+        cx64, cy64 = float(ref64["cx"][y, x]), float(ref64["cy"][y, x])
+        lum = float(ref32["lum"][y, x])
+        gold_px = gold[y, x]
+        our_px = ours[y, x]
+        ix, iy = int(np.floor(cx64)), int(np.floor(cy64))
+        cands = {}
+        for ddy in (-1, 0, 1):
+            for ddx in (-1, 0, 1):
+                tx, ty = (ix + ddx) % TW, (iy + ddy) % TH
+                q = np.clip(np.trunc(
+                    np.float32(tex[ty, tx] * np.float32(lum))
+                    * np.float32(255.0)).astype(np.int64), 0, 255)
+                cands[(ddx, ddy)] = q
+        gold_k = [k for k, q in cands.items() if (q == gold_px).all()]
+        our_k = [k for k, q in cands.items()
+                 if (np.abs(q - our_px) <= 1).all()]
+        if gold_k and our_k and any(g != o for g in gold_k for o in our_k):
+            # boundary distance: how far the f64 coordinate sits from the
+            # truncation boundary between the two chosen texels
+            d = min(
+                min(abs(cx64 - round(cx64)), abs(cy64 - round(cy64)))
+                for _ in (0,)
+            )
+            boundary_dists.append(d)
+            explained += 1
+        else:
+            unexplained += 1
+            if len(unexplained_list) < 10:
+                unexplained_list.append(
+                    dict(y=int(y), x=int(x), gold=gold_px.tolist(),
+                         ours=our_px.tolist(), cx=cx64, cy=cy64,
+                         lum=lum)
+                )
+
+    print(f"  silhouette (hit-test boundary) flips: {silhouette}")
+    print(f"  adjacent-texel truncation flips:      {explained}")
+    if boundary_dists:
+        bd = np.asarray(boundary_dists)
+        print(f"    f64 distance to texel boundary: median {np.median(bd):.2e}"
+              f" max {bd.max():.2e} texels")
+    print(f"  UNEXPLAINED:                          {unexplained}")
+    for u in unexplained_list:
+        print(f"    {u}")
+    out = dict(total=n, silhouette=int(silhouette), texel_flips=int(explained),
+               unexplained=int(unexplained),
+               boundary_max_texels=float(np.max(boundary_dists))
+               if boundary_dists else None)
+    if "--save" in argv:
+        with open(argv[argv.index("--save") + 1], "w") as f:
+            json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
