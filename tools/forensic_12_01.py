@@ -117,7 +117,6 @@ def pipeline(dtype):
     ry = np.trunc(cy).astype(np.int64) % TH
 
     lp = F([5.0, 5.0, 6.0])
-    intensity = F(1000.0)
     ldx, ldy, ldz = F(lp[0] - PX), F(lp[1] - PY), F(lp[2] - PZ)
     r2 = F(F(F(ldx * ldx) + F(ldy * ldy)) + F(ldz * ldz))
     lln = np.sqrt(r2)
@@ -126,9 +125,9 @@ def pipeline(dtype):
         F(0.0), F(F(F(ldx * fn[0]) + F(ldy * fn[1])) + F(ldz * fn[2]))
     )
     area = F(F(F(4.0) * pi) * r2)
-    lum_over = F(intensity / area) * cosl  # texel * lum = color
 
-    return dict(hit=hit, cx=cx, cy=cy, rx=rx, ry=ry, lum=lum_over,
+    return dict(hit=hit, cx=cx, cy=cy, rx=rx, ry=ry,
+                area=area, cosl=cosl,
                 edge_min=np.minimum(np.minimum(ed0, ed1), ed2))
 
 
@@ -155,12 +154,19 @@ def main(argv):
     ref32 = pipeline(np.float32)
     ref64 = pipeline(np.float64)
 
-    # sanity: the f32 pipeline IS the golden (oracle_ref_f32 result)
-    q32 = np.clip(np.trunc(np.float32(
-        np.where(ref32["hit"][..., None],
-                 tex[ref32["ry"], ref32["rx"]] * ref32["lum"][..., None],
-                 np.float32([0.0, 0.5, 0.0]))
-        * np.float32(255.0)).astype(np.int64)), 0, 255)
+    # sanity: the f32 pipeline IS the golden (oracle_ref_f32 result).
+    # Shading order matters to the bit: (texel * I) / area * cosl
+    # (crt_renderer.cpp:81-96 expression order).
+    F32 = np.float32
+
+    def shade_ref(texel, area, cosl):
+        return F32(F32(F32(texel * F32(1000.0)) / area) * cosl)
+
+    full = shade_ref(tex[ref32["ry"], ref32["rx"]],
+                     ref32["area"][..., None], ref32["cosl"][..., None])
+    img32 = np.where(ref32["hit"][..., None], full,
+                     np.float32([0.0, 0.5, 0.0]))
+    q32 = np.clip(np.trunc(F32(img32 * F32(255.0))).astype(np.int64), 0, 255)
     assert (q32 == gold).all(), "ref-f32 oracle no longer golden-exact!"
 
     ys, xs = np.nonzero(mism)
@@ -177,7 +183,7 @@ def main(argv):
             silhouette += 1
             continue
         cx64, cy64 = float(ref64["cx"][y, x]), float(ref64["cy"][y, x])
-        lum = float(ref32["lum"][y, x])
+        area, cosl = ref32["area"][y, x], ref32["cosl"][y, x]
         gold_px = gold[y, x]
         our_px = ours[y, x]
         ix, iy = int(np.floor(cx64)), int(np.floor(cy64))
@@ -186,7 +192,7 @@ def main(argv):
             for ddx in (-1, 0, 1):
                 tx, ty = (ix + ddx) % TW, (iy + ddy) % TH
                 q = np.clip(np.trunc(
-                    np.float32(tex[ty, tx] * np.float32(lum))
+                    np.float32(shade_ref(tex[ty, tx], area, cosl))
                     * np.float32(255.0)).astype(np.int64), 0, 255)
                 cands[(ddx, ddy)] = q
         gold_k = [k for k, q in cands.items() if (q == gold_px).all()]
@@ -206,8 +212,7 @@ def main(argv):
             if len(unexplained_list) < 10:
                 unexplained_list.append(
                     dict(y=int(y), x=int(x), gold=gold_px.tolist(),
-                         ours=our_px.tolist(), cx=cx64, cy=cy64,
-                         lum=lum)
+                         ours=our_px.tolist(), cx=cx64, cy=cy64)
                 )
 
     print(f"  silhouette (hit-test boundary) flips: {silhouette}")
