@@ -93,6 +93,21 @@ _OCCL_EXIT = os.environ.get("CRT_OCCL_EXIT", "0") != "0"
 _APEX_W = os.environ.get("CRT_APEX_W", "1") != "0"
 
 
+def _out_vma(*xs) -> frozenset:
+    """Union varying-manual-axes over launch inputs.  Inside shard_map
+    (the rays-sharded production path runs these kernels per device) the
+    out_shape aval must name the mesh axes the output varies over; a bare
+    ShapeDtypeStruct has vma=None, which the manual-axes checker rejects.
+    Empty (a no-op) outside shard_map."""
+    out = frozenset()
+    for x in xs:
+        try:
+            out |= frozenset(getattr(jax.typeof(x), "vma", None) or ())
+        except TypeError:
+            pass
+    return out
+
+
 class ClusterTables(NamedTuple):
     """Cluster-major padded triangle constants (built once per scene)."""
 
@@ -964,7 +979,8 @@ def _occluded_binned_compact_w(
             ),
             grid_spec=grid_spec,
             out_shape=[
-                jax.ShapeDtypeStruct((tiles, 1, tile_rays), jnp.int32)
+                jax.ShapeDtypeStruct((tiles, 1, tile_rays), jnp.int32,
+                                     vma=_out_vma(*operands))
             ] * n_out,
             interpret=interpret,
         )(*operands)
@@ -1064,7 +1080,8 @@ def _occluded_binned_compact(
             functools.partial(_occl_kernel_compact, early_exit=early_exit),
             grid_spec=grid_spec,
             out_shape=[
-                jax.ShapeDtypeStruct((tiles, 1, tile_rays), jnp.int32)
+                jax.ShapeDtypeStruct((tiles, 1, tile_rays), jnp.int32,
+                                     vma=_out_vma(*operands))
             ],
             interpret=interpret,
         )(*operands)
@@ -1360,7 +1377,11 @@ def occluded_pallas_flat(
     (occ,) = pl.pallas_call(
         _occlusion_kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((tiles, 1, tile_rays), jnp.int32)],
+        out_shape=[jax.ShapeDtypeStruct(
+            (tiles, 1, tile_rays), jnp.int32,
+            vma=_out_vma(counts, cluster_list, o_t, d_t, r2_t, init_occ,
+                         *tables),
+        )],
         interpret=interpret,
     )(
         counts, cluster_list, o_t, d_t, r2_t, init_occ,
@@ -1410,9 +1431,10 @@ def _closest_hit_binned(
         pl.BlockSpec((1, 1, tile_rays), lambda i, c: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
+    vma = _out_vma(counts, cluster_list, o_t, d_t, *tables)
     out_shape = [
-        jax.ShapeDtypeStruct((tiles, 1, tile_rays), jnp.float32),
-        jax.ShapeDtypeStruct((tiles, 1, tile_rays), jnp.int32),
+        jax.ShapeDtypeStruct((tiles, 1, tile_rays), jnp.float32, vma=vma),
+        jax.ShapeDtypeStruct((tiles, 1, tile_rays), jnp.int32, vma=vma),
     ]
     operands = [
         counts,
@@ -1433,8 +1455,11 @@ def _closest_hit_binned(
         in_specs.append(pl.BlockSpec((1, 1, tile_rays),
                                      lambda i, c: (i, 0, 0),
                                      memory_space=pltpu.VMEM))
+        # settle-bound plane (see _trace_tile_body): no bound -> a huge
+        # sentinel so only best_t can settle a lane
         operands.append(act_t if act_t is not None
-                        else jnp.ones((tiles, 1, tile_rays), jnp.float32))
+                        else jnp.full((tiles, 1, tile_rays), 3.4e38,
+                                      jnp.float32))
     if emit_k:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # rows
         operands.append(rows_table)
@@ -1449,7 +1474,8 @@ def _closest_hit_binned(
                          memory_space=pltpu.VMEM)
         )
         out_shape.append(
-            jax.ShapeDtypeStruct((tiles, emit_k, tile_rays), jnp.float32)
+            jax.ShapeDtypeStruct((tiles, emit_k, tile_rays), jnp.float32,
+                                 vma=vma)
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1550,9 +1576,10 @@ def _closest_hit_binned_merged(
         pl.BlockSpec((1, 1, fat), lambda i, c: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
+    vma = _out_vma(counts, cluster_list, o_f, d_f, *tables)
     out_shape = [
-        jax.ShapeDtypeStruct((G, 1, fat), jnp.float32),
-        jax.ShapeDtypeStruct((G, 1, fat), jnp.int32),
+        jax.ShapeDtypeStruct((G, 1, fat), jnp.float32, vma=vma),
+        jax.ShapeDtypeStruct((G, 1, fat), jnp.int32, vma=vma),
     ]
     operands = [
         counts, cluster_list, o_f, d_f,
@@ -1567,7 +1594,7 @@ def _closest_hit_binned_merged(
                          memory_space=pltpu.VMEM)
         )
         out_shape.append(
-            jax.ShapeDtypeStruct((G, emit_k, fat), jnp.float32)
+            jax.ShapeDtypeStruct((G, emit_k, fat), jnp.float32, vma=vma)
         )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -1621,7 +1648,8 @@ def _closest_hit_binned_compact(
     emit_k = 0 if rows_table is None else int(rows_table.shape[2])
     early_exit = lb is not None
     if early_exit and act_t is None:
-        act_t = jnp.ones((tiles, 1, tile_rays), jnp.float32)
+        # settle-bound plane: huge sentinel = only best_t settles
+        act_t = jnp.full((tiles, 1, tile_rays), 3.4e38, jnp.float32)
 
     live = counts > 0
     n_live = jnp.sum(live, dtype=jnp.int32)
@@ -1661,9 +1689,12 @@ def _closest_hit_binned_compact(
             pl.BlockSpec((1, 1, tile_rays), lambda i, nl, ts, c: (ts[i], 0, 0),
                          memory_space=pltpu.VMEM),
         ]
+        vma = _out_vma(nlive_arr, tile_ids, counts, cluster_list, o_t,
+                       d_t, *tables)
         out_shape = [
-            jax.ShapeDtypeStruct((tiles, 1, tile_rays), jnp.float32),
-            jax.ShapeDtypeStruct((tiles, 1, tile_rays), jnp.int32),
+            jax.ShapeDtypeStruct((tiles, 1, tile_rays), jnp.float32,
+                                 vma=vma),
+            jax.ShapeDtypeStruct((tiles, 1, tile_rays), jnp.int32, vma=vma),
         ]
         operands = [
             nlive_arr, tile_ids[:cap], counts, cluster_list, o_t, d_t,
@@ -1691,7 +1722,8 @@ def _closest_hit_binned_compact(
                              memory_space=pltpu.VMEM)
             )
             out_shape.append(
-                jax.ShapeDtypeStruct((tiles, emit_k, tile_rays), jnp.float32)
+                jax.ShapeDtypeStruct((tiles, emit_k, tile_rays), jnp.float32,
+                                     vma=vma)
             )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,  # n_live, tile_ids, counts

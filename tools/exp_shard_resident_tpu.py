@@ -63,11 +63,15 @@ def main(argv):
         scene, target, params, settings, mesh
     )
 
-    def flat_loss(p):
+    # target passed as an ARGUMENT, not a closure constant: a large f32
+    # constant embedded in a pallas-heavy program arrives partially zeroed
+    # through the axon relay (measured round 5 — the sharded path is
+    # unaffected because shard_map takes target as an operand).
+    def flat_loss(p, target):
         img = render_image_hwc(scene.replace(**p), settings, jit=False)
         return jnp.mean((img - target) ** 2)
 
-    loss_f, grads_f = jax.jit(jax.value_and_grad(flat_loss))(params)
+    loss_f, grads_f = jax.jit(jax.value_and_grad(flat_loss))(params, target)
     dl = abs(float(loss_sh) - float(loss_f))
     print(f"loss sharded {float(loss_sh):.8f} flat {float(loss_f):.8f} "
           f"(|d|={dl:.2e})", flush=True)
