@@ -57,6 +57,13 @@ from crt_tpu.ops.pallas_trace import (
 
 SC_CLUSTERS = 32  # default clusters per supercluster (32 x 16 = 512 tris)
 
+import os as _os
+
+# Per-lane exact pair admission for FULL shadow-shaft walks (phase 2 /
+# single phase): the hull's interval conservatism admits 2.33x the pairs
+# any lane's segment needs (tools/exp_shadow_pairs.py).  A/B flag.
+_LANE_EXACT = _os.environ.get("CRT_STREAM_LANE_EXACT", "1") != "0"
+
 
 def _vma_of(x) -> frozenset:
     """Varying-manual-axes of ``x`` under shard_map (empty outside)."""
@@ -136,6 +143,86 @@ def _tile_bounds(origins, dirs, tile_rays, active):
     d_lo = jnp.where(a, d, INF).min(axis=1)
     d_hi = jnp.where(a, d, -INF).max(axis=1)
     return o_lo, o_hi, d_lo, d_hi, jnp.any(a[..., 0], axis=1)
+
+
+def lane_exact_sc_mask(origins, dirs, r2, active, slack, sc_min, sc_max,
+                       tile_rays: int = TILE_RAYS,
+                       tile_block: int = 128, sc_chunk: int = 256):
+    """[tiles, L2] bool — a (tile, supercluster) pair survives iff SOME
+    active lane's slack-inflated [origin, light] segment hits the SC box.
+
+    The shipped shaft+cone+wedge hull admits 2.33x more pairs than any
+    lane's actual segment requires on the 1M benchmark (213958 vs 91900,
+    tools/exp_shadow_pairs.py) — the fat is per-axis INTERVAL conservatism,
+    which sub-shaft unions cannot remove (sub=32: 207690).  This computes
+    the EXACT per-lane slab test, OR-reduced per tile, in ~tiles*TR*L2*25
+    flops (a few ms at 2M lanes x ~2k superclusters) — occlusion-exact: a
+    dropped pair has no lane whose segment (inflated by the same 2*slack
+    the member tests use, t capped at sqrt(r2)*(1+1e-4)+2*slack) touches
+    the box, so no member hit with t^2 <= r2 was possible.
+
+    Memory: double-chunked (tile_block tiles x sc_chunk boxes per scan
+    step) so intermediates stay ~tens of MB.
+    """
+    INF = jnp.float32(3.4e38)
+    N = origins.shape[0]
+    tiles = N // tile_rays
+    L2 = sc_min.shape[0]
+    s = jnp.float32(slack)
+    tmax = jnp.sqrt(jnp.maximum(r2, 0.0)) * (1.0 + 1e-4) + 2.0 * s
+    if active is not None:
+        tmax = jnp.where(active, tmax, -1.0)  # inactive: empty segment
+
+    tb_pad = (-tiles) % tile_block
+    def padt(x, fill):
+        if not tb_pad:
+            return x
+        p = jnp.full((tb_pad * tile_rays,) + x.shape[1:], fill, x.dtype)
+        return jnp.concatenate([x, p])
+    o_p = padt(origins, 0.0).reshape(-1, tile_block * tile_rays, 3)
+    d_p = padt(dirs, 1.0).reshape(-1, tile_block * tile_rays, 3)
+    t_p = padt(tmax, -1.0).reshape(-1, tile_block * tile_rays)
+
+    sc_pad = (-L2) % sc_chunk
+    bmin = jnp.concatenate(
+        [sc_min - 2.0 * s, jnp.full((sc_pad, 3), INF)]
+    ) if sc_pad else sc_min - 2.0 * s
+    bmax = jnp.concatenate(
+        [sc_max + 2.0 * s, jnp.full((sc_pad, 3), -INF)]
+    ) if sc_pad else sc_max + 2.0 * s
+    bmin_c = bmin.reshape(-1, sc_chunk, 3)
+    bmax_c = bmax.reshape(-1, sc_chunk, 3)
+    n_sc_chunks = bmin_c.shape[0]
+
+    def tile_block_mask(args):
+        o, d, tm = args  # [B*TR, 3], [B*TR, 3], [B*TR]
+        small = jnp.abs(d) < 1e-12
+        dsafe = jnp.where(small, 1.0, d)
+
+        def sc_step(ci, acc):
+            bm, bx = bmin_c[ci], bmax_c[ci]  # [C, 3]
+            t1 = (bm[None] - o[:, None]) / dsafe[:, None]  # [B*TR, C, 3]
+            t2 = (bx[None] - o[:, None]) / dsafe[:, None]
+            tlo = jnp.minimum(t1, t2)
+            thi = jnp.maximum(t1, t2)
+            inside = (o[:, None] >= bm[None]) & (o[:, None] <= bx[None])
+            sm = small[:, None]
+            tlo = jnp.where(sm & inside, -INF,
+                            jnp.where(sm & ~inside, INF, tlo))
+            thi = jnp.where(sm & inside, INF,
+                            jnp.where(sm & ~inside, -INF, thi))
+            ent = tlo.max(-1)
+            ext = thi.min(-1)
+            hit = (ent <= ext) & (ext >= 0.0) & (ent <= tm[:, None])
+            hit = hit.reshape(tile_block, tile_rays, -1).any(axis=1)
+            return acc.at[:, ci].set(hit)
+
+        acc0 = jnp.zeros((tile_block, n_sc_chunks, sc_chunk), bool)
+        acc = jax.lax.fori_loop(0, n_sc_chunks, sc_step, acc0)
+        return acc.reshape(tile_block, -1)
+
+    out = jax.lax.map(tile_block_mask, (o_p, d_p, t_p))
+    return out.reshape(-1, n_sc_chunks * sc_chunk)[:tiles, :L2]
 
 
 def _member_mask(bounds, pair_tile, pair_sc, cl_min, cl_max, sc,
@@ -263,7 +350,8 @@ def _member_runs(bounds, pair_tile, pair_sc, cl_min, cl_max, sc,
 def bin_pairs(sc_min, sc_max, origins, dirs, pairs_cap: int,
               tile_rays: int = TILE_RAYS, active=None,
               apex=None, apex_slack: float = 0.0,
-              near_first: bool = False, per_tile_cap: int | None = None):
+              near_first: bool = False, per_tile_cap: int | None = None,
+              extra_mask=None):
     """Phase A: tile-major (tile, supercluster) interaction pairs.
 
     Returns (pair_tile [P], pair_sc [P], pair_valid [P], total_pairs []).
@@ -297,6 +385,10 @@ def bin_pairs(sc_min, sc_max, origins, dirs, pairs_cap: int,
         mask = _frustum_box_mask(o_lo, o_hi, d_lo, d_hi, sc_min, sc_max)
     if tile_any is not None:
         mask = mask & tile_any[:, None]
+    if extra_mask is not None:
+        # per-lane exact admission (lane_exact_sc_mask): strictly tighter
+        # than — and AND-composable with — the hull tests above
+        mask = mask & extra_mask
 
     L2 = sc_min.shape[0]
     if near_first:
@@ -1081,7 +1173,7 @@ def closest_hit_stream_flat(
 @functools.partial(
     jax.jit,
     static_argnames=("pairs_cap", "tile_rays", "interpret", "block",
-                     "layout", "per_tile_cap"),
+                     "layout", "per_tile_cap", "lane_exact"),
 )
 def occluded_stream_flat(
     tables: ClusterTables,
@@ -1099,6 +1191,7 @@ def occluded_stream_flat(
     block: int = 16384,
     layout: str | None = None,
     per_tile_cap: int | None = None,
+    lane_exact: bool | None = None,  # None -> CRT_STREAM_LANE_EXACT
 ):
     """Streaming any-hit occlusion -> [R] bool (apex shadow binning).
 
@@ -1120,10 +1213,27 @@ def occluded_stream_flat(
     fused = build_fused_table(tables) if layout != "rows" else None
 
     bounds = _tile_bounds(origins, dirs, tile_rays, active)
+    extra = None
+    if lane_exact is None:
+        # NOTE: this function is jitted — the module flag is baked into
+        # the trace cache, so same-process A/Bs must pass the STATIC
+        # lane_exact argument (a global patch silently no-ops on the
+        # second call with equal avals; measured round 5).
+        lane_exact = _LANE_EXACT
+    if per_tile_cap is None and lane_exact:
+        # FULL shaft walks (single-phase or phase 2): per-lane exact pair
+        # admission — 2.33x fewer pairs than the hull on the 1M benchmark
+        # for a few ms of slab tests (see lane_exact_sc_mask).  Truncated
+        # phase-1 walks (per_tile_cap) skip it: their pair count is capped
+        # anyway.
+        extra = lane_exact_sc_mask(
+            origins, dirs, r2, active, apex_slack, sc_min, sc_max,
+            tile_rays,
+        )
     pair_tile, pair_sc, pair_valid, total = bin_pairs(
         sc_min, sc_max, origins, dirs, pairs_cap, tile_rays, active,
         apex=apex, apex_slack=apex_slack, near_first=True,
-        per_tile_cap=per_tile_cap,
+        per_tile_cap=per_tile_cap, extra_mask=extra,
     )
     nblocks = -(-pairs_cap // block)
     pad = nblocks * block - pairs_cap
