@@ -91,6 +91,11 @@ _OCCL_EXIT = os.environ.get("CRT_OCCL_EXIT", "0") != "0"
 # In-kernel shadow directions (w-parameterized occlusion, s <= 1): skips
 # building/retiling the 8M-lane normalized-direction tensor entirely.
 _APEX_W = os.environ.get("CRT_APEX_W", "1") != "0"
+# In-kernel per-cluster LANE GATE for the w-shadow kernel: before each
+# 16-member walk, slab-test every lane's segment against the cluster box
+# and skip the walk when none can reach it (the stream path's lane-exact
+# 2.33x over-admission measurement, applied at walk time).  A/B flag.
+_APEX_LANE_GATE = os.environ.get("CRT_APEX_LANE_GATE", "0") != "0"
 
 
 def _out_vma(*xs) -> frozenset:
@@ -799,10 +804,11 @@ def _occl_kernel_compact_w(
     apex_ref,  # [1, 1, 3] SMEM — the tile's light position
     o_ref,  # [1, 3, TR] VMEM biased origins (tile_mod-wrapped)
     p_ref,  # [1, 3, TR] VMEM UNBIASED hit points (tile_mod-wrapped)
-    *rest,  # [gm if member_masked/glass_flag], n, nv0, m, c, nobf, outs
+    *rest,  # [boxes if lane_gate][gm if masked/glass], n..nobf, outs
     capped: bool = True,
     member_masked: bool = False,
     glass_flag: bool = False,
+    lane_gate: bool = False,
 ):
     """Occlusion with IN-KERNEL shadow directions.
 
@@ -829,6 +835,8 @@ def _occl_kernel_compact_w(
     member (per the same [L, S] mask) hits within the segment" — the
     one-pass march-split router (see shade._occlusion_masks).
     """
+    if lane_gate:
+        blo_ref, bhi_ref, *rest = rest  # [L, 3] SMEM inflated cluster boxes
     if member_masked or glass_flag:
         gm_ref, *rest = rest
     if glass_flag:
@@ -844,6 +852,45 @@ def _occl_kernel_compact_w(
         wx = apex_ref[0, 0, 0] - p_ref[0, 0:1, :]
         wy = apex_ref[0, 0, 1] - p_ref[0, 1:2, :]
         wz = apex_ref[0, 0, 2] - p_ref[0, 2:3, :]
+
+        if lane_gate:
+            # Per-lane segment-box slab precomputation (the in-kernel
+            # analog of the stream path's lane-exact pair admission —
+            # round-5 measured the interval hulls over-admitting 2.33x):
+            # reciprocal of each lane's w once; near-zero components take
+            # the select path in _gate below (0*inf NaNs would silently
+            # DROP clusters — conservative wrongness is not allowed).
+            TINY = jnp.float32(1e-12)
+            sx = jnp.abs(wx) < TINY
+            sy = jnp.abs(wy) < TINY
+            sz = jnp.abs(wz) < TINY
+            iwx = jnp.where(sx, 0.0, 1.0 / jnp.where(sx, 1.0, wx))
+            iwy = jnp.where(sy, 0.0, 1.0 / jnp.where(sy, 1.0, wy))
+            iwz = jnp.where(sz, 0.0, 1.0 / jnp.where(sz, 1.0, wz))
+            GINF = jnp.float32(3.4e38)
+
+            def _gate(cl):
+                """Scalar bool: can ANY lane's s in [0, 1+eps] segment
+                hit cluster ``cl``'s (pre-inflated) box?"""
+                ent = jnp.full_like(wx, -GINF)
+                ext = jnp.full_like(wx, GINF)
+                for o_c, iw, sm, ax in ((ox, iwx, sx, 0), (oy, iwy, sy, 1),
+                                        (oz, iwz, sz, 2)):
+                    lo = blo_ref[cl, ax]
+                    hi = bhi_ref[cl, ax]
+                    t1 = (lo - o_c) * iw
+                    t2 = (hi - o_c) * iw
+                    inside = (o_c >= lo) & (o_c <= hi)
+                    tlo = jnp.where(sm, jnp.where(inside, -GINF, GINF),
+                                    jnp.minimum(t1, t2))
+                    thi = jnp.where(sm, jnp.where(inside, GINF, -GINF),
+                                    jnp.maximum(t1, t2))
+                    ent = jnp.maximum(ent, tlo)
+                    ext = jnp.minimum(ext, thi)
+                ok = (ent <= ext) & (ext >= 0.0)
+                if capped:
+                    ok = ok & (ent <= 1.0001)
+                return jnp.any(ok)
 
         def one_cluster(cl, carry):
             blocked = carry[0] if glass_flag else carry
@@ -887,7 +934,19 @@ def _occl_kernel_compact_w(
             base = i * CLUSTER_UNROLL
             for k in range(CLUSTER_UNROLL):
                 idx = jnp.minimum(base + k, count - 1)
-                carry = one_cluster(cluster_list_ref[0, 0, idx], carry)
+                cl = cluster_list_ref[0, 0, idx]
+                if lane_gate:
+                    # skip the 16-member walk when no lane's segment can
+                    # reach the (inflated) box — ~5 % gate cost per
+                    # cluster for the measured 2.33x hull over-admission
+                    carry = jax.lax.cond(
+                        _gate(cl),
+                        functools.partial(one_cluster, cl),
+                        lambda c: c,
+                        carry,
+                    )
+                else:
+                    carry = one_cluster(cl, carry)
             return carry
 
         TR = o_ref.shape[2]
@@ -916,6 +975,7 @@ def _occluded_binned_compact_w(
     capped: bool = True,
     member_mask: jnp.ndarray | None = None,  # [L, S] f32 triangle subset
     glass_flag: bool = False,
+    lane_boxes=None,  # ([L, 3] lo, [L, 3] hi) pre-inflated -> in-kernel gate
 ):
     """Live-tile-compacted w-form occlusion -> blocked [Ll*tpl,1,TR] bool.
 
@@ -950,6 +1010,10 @@ def _occluded_binned_compact_w(
         operands = [
             nlive_arr, tile_ids[:cap], counts, cluster_list, apex, o_t, p_t,
         ]
+        if lane_boxes is not None:
+            for b in lane_boxes:
+                in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+                operands.append(b)
         if member_mask is not None:
             in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # gm
             operands.append(member_mask)
@@ -975,7 +1039,7 @@ def _occluded_binned_compact_w(
             functools.partial(
                 _occl_kernel_compact_w, capped=capped,
                 member_masked=member_mask is not None and not glass_flag,
-                glass_flag=glass_flag,
+                glass_flag=glass_flag, lane_gate=lane_boxes is not None,
             ),
             grid_spec=grid_spec,
             out_shape=[
@@ -2095,6 +2159,18 @@ def make_pallas_trace_fn(scene, tile_rays: int | None = None,
 
     trace.shadow_apex = shadow_apex
 
+    def _lane_gate_boxes(origin_slack):
+        """Pre-inflated [L, 3] cluster boxes for the in-kernel lane gate
+        (None when the gate is off).  Inflation: 2x the caller's origin
+        slack (the binning convention, covers the bias offset) plus a
+        small absolute epsilon against slab-arithmetic rounding."""
+        if not _APEX_LANE_GATE:
+            return None
+        lo = jax.lax.stop_gradient(tables.cl_min)
+        hi = jax.lax.stop_gradient(tables.cl_max)
+        eps = 2.0 * jnp.float32(origin_slack) + 1e-5 * jnp.max(hi - lo)
+        return (lo - eps, hi + eps)
+
     def shadow_apex_w(point, shadow_o, light_positions, active,
                       origin_slack):
         """Occlusion masks with IN-KERNEL shadow directions -> [Ll, R]
@@ -2128,7 +2204,8 @@ def make_pallas_trace_fn(scene, tile_rays: int | None = None,
             jax.lax.stop_gradient(light_positions), tpl, axis=0
         )[:, None, :]  # [Ll*tpl, 1, 3] (SMEM blocks: last dims whole)
         occ = _occluded_binned_compact_w(
-            tables, o_t, p_t, apex, cluster_list, counts, st, interpret
+            tables, o_t, p_t, apex, cluster_list, counts, st, interpret,
+            lane_boxes=_lane_gate_boxes(origin_slack),
         )
         return occ.reshape(Ll, R)
 
@@ -2198,6 +2275,7 @@ def make_pallas_trace_fn(scene, tile_rays: int | None = None,
         occ, glass = _occluded_binned_compact_w(
             tables, o_t, p_t, apex, cluster_list, counts, st, interpret,
             member_mask=gm, glass_flag=True,
+            lane_boxes=_lane_gate_boxes(origin_slack),
         )
         return occ.reshape(Ll, R), glass.reshape(Ll, R)
 

@@ -229,3 +229,31 @@ def test_apex_w_parallel_eps_boundary_pinned():
 
     assert not occ_hat[0], "d̂-path must DROP the sub-eps grazing blocker"
     assert occ_w[0], "w-kernel must REGISTER the grazing blocker (n·w > eps)"
+
+
+def test_apex_w_lane_gate_parity(scene, monkeypatch):
+    """The in-kernel per-cluster lane gate (CRT_APEX_LANE_GATE) skips
+    member walks no lane can reach — occlusion bits must be IDENTICAL."""
+    import crt_tpu.ops.pallas_trace as ptr
+    from crt_tpu.ops import vecmath
+
+    trace = make_pallas_trace_fn(scene, interpret=True)
+    o, d = camera_ops.generate_rays(
+        scene.cam_position, scene.cam_rotation, scene.cam_tan_half_fov,
+        scene.width, scene.height,
+    )
+    o = o.reshape(-1, 3)
+    d = d.reshape(-1, 3)
+    hit = trace(o, d)
+    t = jnp.where(jnp.isfinite(hit.t), hit.t, 2.0)
+    point = o + d * t[:, None]
+    lp = scene.light_position
+    Ll = lp.shape[0]
+    act = jnp.ones((Ll, point.shape[0]), bool) & (hit.tri >= 0)[None]
+    shadow_o = point + 1e-2 * vecmath.safe_normalize(point)
+
+    monkeypatch.setattr(ptr, "_APEX_LANE_GATE", False)
+    base = np.asarray(trace.shadow_apex_w(point, shadow_o, lp, act, 2e-2))
+    monkeypatch.setattr(ptr, "_APEX_LANE_GATE", True)
+    gated = np.asarray(trace.shadow_apex_w(point, shadow_o, lp, act, 2e-2))
+    np.testing.assert_array_equal(base, gated)
