@@ -70,11 +70,15 @@ _SHADOW_COMPACT = os.environ.get("CRT_SHADOW_COMPACT", "0") != "0"
 # geometry touch this ray" — glass-free lanes take the w-kernel occlusion
 # fast path and only glass-suspect lanes pay the faithful bend-walk.  See
 # the inline note in _occlusion_masks.  _MARCH_GATE picks the router:
-# "capped" (default; glass flag piggybacks on the opaque w-pass, zero
-# extra traces, deviates from the reference walk only for glass strictly
-# beyond the light) or "uncapped" (separate reference-exact gate pass).
+# "uncapped" (DEFAULT — a separate unbounded any-hit against the glass
+# members, reproducing the reference walk exactly: it bends at
+# refractive hits even beyond the light, crt_renderer.cpp:29-44) or
+# "capped" (the glass flag piggybacks on the opaque w-pass at zero extra
+# traces, ~10 % faster — but beyond-the-light glass no longer bends
+# unblocked lanes, which measured a REAL 5.2 %-of-pixels difference on
+# 11-01-scene8, not a boundary effect; opt-in speed/semantics trade).
 _MARCH_SPLIT = os.environ.get("CRT_MARCH_SPLIT", "1") != "0"
-_MARCH_GATE = os.environ.get("CRT_MARCH_GATE", "capped")
+_MARCH_GATE = os.environ.get("CRT_MARCH_GATE", "uncapped")
 
 
 def lane_partition(alive: jnp.ndarray):

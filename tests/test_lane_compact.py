@@ -172,3 +172,85 @@ def test_refr_ray_hit_gate_superset():
         flagged = gate[l]
         missed = truth & ~flagged
         assert not missed.any(), f"gate missed {missed.sum()} glass lanes"
+
+
+def test_march_gate_beyond_light_glass(monkeypatch):
+    """Pin the two gate semantics on a CONSTRUCTED tunnel scene: a tilted
+    glass pane BEYOND the light bends extended shadow rays into a nearby
+    ceiling (last-segment hit within the light distance), so the
+    reference's uncapped walk (crt_renderer.cpp:29-44) shades the floor
+    as OCCLUDED.  uncapped gate (the default) must be bit-identical to
+    the unconditional faithful march; the capped gate must differ here
+    (its documented speed/semantics trade: beyond-the-light glass never
+    bends an unblocked lane)."""
+    import crt_tpu.renderer as renderer
+    from crt_tpu.ops.pallas_trace import make_pallas_trace_fn
+    from crt_tpu.scene.json_loader import scene_from_dict
+
+    orig = renderer.make_trace_fn
+
+    def patched(scn, settings):
+        if settings.backend == "pallas":
+            return make_pallas_trace_fn(scn, interpret=True)
+        return orig(scn, settings)
+
+    monkeypatch.setattr(renderer, "make_trace_fn", patched)
+    monkeypatch.setattr(shade_mod, "_SHADOW_COMPACT", False)
+    monkeypatch.setattr(shade_iter_mod, "_POOL_COMPACT", False)
+
+    big = 20.0
+    z_glass = 4.0
+    data = {
+        "settings": {"background_color": [0, 0, 0],
+                     "image_settings": {"width": 32, "height": 32}},
+        # camera at z=1 looking straight down -z at the floor
+        "camera": {"position": [0, 0, 1.0],
+                   "matrix": [1, 0, 0, 0, 1, 0, 0, 0, 1]},
+        "lights": [{"position": [0, 0, 2.0], "intensity": 200}],
+        "materials": [
+            {"type": "diffuse", "albedo": [1, 1, 1],
+             "smooth_shading": False},
+            {"type": "refractive", "ior": 1.5, "albedo": [1, 1, 1],
+             "smooth_shading": False},
+        ],
+        "objects": [
+            # floor at z=0 (two triangles)
+            {"material_index": 0,
+             "vertices": [-big, -big, 0.0, big, -big, 0.0,
+                          big, big, 0.0, -big, big, 0.0],
+             "triangles": [0, 1, 2, 0, 2, 3]},
+            # glass pane tilted 45 deg in x-z, through (0, 0, z_glass),
+            # ABOVE the light -> only extended shadow rays reach it
+            {"material_index": 1,
+             "vertices": [-big, -big, z_glass - big,
+                          big, -big, z_glass + big,
+                          big, big, z_glass + big,
+                          -big, big, z_glass - big],
+             "triangles": [0, 1, 2, 0, 2, 3]},
+            # ceiling at z=5.5: the bent continuation hits it within the
+            # original light distance (sqrt(r2) = 2 from the floor)
+            {"material_index": 0,
+             "vertices": [-big, -big, 5.5, big, -big, 5.5,
+                          big, big, 5.5, -big, big, 5.5],
+             "triangles": [0, 2, 1, 0, 3, 2]},
+        ],
+    }
+    scene = scene_from_dict(data)
+    settings = RenderSettings(backend="pallas", max_ray_depth=3,
+                              wavefront="iter")
+
+    monkeypatch.setattr(shade_mod, "_MARCH_SPLIT", False)
+    faithful = np.asarray(render_image(scene, settings, jit=False))
+
+    monkeypatch.setattr(shade_mod, "_MARCH_SPLIT", True)
+    monkeypatch.setattr(shade_mod, "_MARCH_GATE", "uncapped")
+    uncapped = np.asarray(render_image(scene, settings, jit=False))
+    np.testing.assert_array_equal(uncapped, faithful)
+
+    monkeypatch.setattr(shade_mod, "_MARCH_GATE", "capped")
+    capped = np.asarray(render_image(scene, settings, jit=False))
+    # the tunnel scene must actually exercise the divergence
+    assert (np.abs(capped - faithful).max(-1) > 1e-6).any(), (
+        "capped gate unexpectedly matches the faithful walk — the tunnel "
+        "construction no longer exercises beyond-the-light glass"
+    )
