@@ -267,15 +267,36 @@ def _frustum_box_mask(o_lo, o_hi, d_lo, d_hi, bmin, bmax, t_cap=None,
     pos = d_lo > 0.0
     neg = d_hi < 0.0
 
-    ent_pos = (bmin - o_hi) / jnp.where(pos, d_hi, 1.0)
-    ext_pos = (bmax - o_lo) / jnp.where(pos, d_lo, 1.0)
-    ent_neg = (bmax - o_lo) / jnp.where(neg, d_lo, 1.0)
-    ext_neg = (bmin - o_hi) / jnp.where(neg, d_hi, 1.0)
-
-    t_ent = jnp.where(pos, ent_pos, jnp.where(neg, ent_neg, -INF))
-    t_ext = jnp.where(pos, ext_pos, jnp.where(neg, ext_neg, INF))
     if t_lo_clamp:
+        # t >= 0 regime: the classic one-corner-per-bound relaxation is
+        # conservative (numerators' signs agree with the ray direction)
+        ent_pos = (bmin - o_hi) / jnp.where(pos, d_hi, 1.0)
+        ext_pos = (bmax - o_lo) / jnp.where(pos, d_lo, 1.0)
+        ent_neg = (bmax - o_lo) / jnp.where(neg, d_lo, 1.0)
+        ext_neg = (bmin - o_hi) / jnp.where(neg, d_hi, 1.0)
+
+        t_ent = jnp.where(pos, ent_pos, jnp.where(neg, ent_neg, -INF))
+        t_ext = jnp.where(pos, ext_pos, jnp.where(neg, ext_neg, INF))
         t_ent = jnp.maximum(t_ent, 0.0)
+    else:
+        # FULL-LINE regime (the uncapped glass gate walks apex-t < 0):
+        # interval division needs all four corners — the one-corner
+        # formulas silently INVERT for negative-t boxes (a per-axis
+        # [entry, exit] of [-0.93, -4.44] culled a truly reachable glass
+        # cluster on 11-01-scene8; round-5 forensic).
+        definite = pos | neg
+        safe_lo = jnp.where(definite, d_lo, 1.0)
+        safe_hi = jnp.where(definite, d_hi, 1.0)
+        n_lo = bmin - o_hi
+        n_hi = bmax - o_lo
+        c1 = n_lo / safe_lo
+        c2 = n_lo / safe_hi
+        c3 = n_hi / safe_lo
+        c4 = n_hi / safe_hi
+        tlo = jnp.minimum(jnp.minimum(c1, c2), jnp.minimum(c3, c4))
+        thi = jnp.maximum(jnp.maximum(c1, c2), jnp.maximum(c3, c4))
+        t_ent = jnp.where(definite, tlo, -INF)
+        t_ext = jnp.where(definite, thi, INF)
 
     t_ent_max = jnp.max(t_ent, axis=-1)
     ok = t_ent_max <= jnp.min(t_ext, axis=-1)
@@ -494,7 +515,7 @@ def bin_rays(tables: ClusterTables, origins, dirs, tile_rays: int | None = None,
 
 def bin_apex_shared(tables: ClusterTables, shadow_o, light_positions, active,
                     tile_rays: int | None = None, origin_slack: float = 0.0,
-                    boxes=None, capped: bool = True):
+                    boxes=None, capped: bool = True, glass_boxes=None):
     """Apex (shaft+cone+wedge) binning WITHOUT materializing the per-light
     8M-lane wavefront: origin boxes reduce ONCE over the R pixel lanes
     (union-of-lights active mask, the bin_shadow_rays precedent) and the
@@ -552,6 +573,17 @@ def bin_apex_shared(tables: ClusterTables, shadow_o, light_positions, active,
     if capped and _SHADOW_WEDGE:
         mask = mask & _apex_wedge_mask(
             apex, w_lo, w_hi, cl_min, cl_max, s
+        )
+    if glass_boxes is not None:
+        # UNION with the uncapped glass-member reach (full-ray slab, the
+        # merged one-pass router): clusters whose GLASS members a ray can
+        # touch beyond the light join the walk — they cannot add s <= 1
+        # occlusion hits (their capped-hull exclusion proves entry > 1),
+        # only uncapped glass-flag hits.
+        glo, ghi = glass_boxes
+        mask = mask | _frustum_box_mask(
+            apex, apex, w_lo, w_hi, glo - 2.0 * s, ghi + 2.0 * s,
+            t_cap=jnp.float32(1.0 + 1e-4), t_lo_clamp=False,
         )
     mask = mask & tile_any[:, None]
 
@@ -901,11 +933,9 @@ def _occl_kernel_compact_w(
             not_parallel = jnp.abs(nd) >= PARALLEL_EPS
             face_ok = (opd < 0.0) | (nobf_ref[cl][:, None] > 0.5)
             t = opd / jnp.where(not_parallel, nd, 1.0)
-            valid = not_parallel & face_ok & (t >= 0.0)
-            if capped:
-                valid = valid & (t <= 1.0)
+            base = not_parallel & face_ok & (t >= 0.0)
             if member_masked:
-                valid = valid & (gm_ref[cl][:, None] > 0.5)
+                base = base & (gm_ref[cl][:, None] > 0.5)
             m = m_ref[cl]
             c = c_ref[cl]
             for e in range(3):
@@ -919,14 +949,18 @@ def _occl_kernel_compact_w(
                     + m[:, 3 * e + 1 : 3 * e + 2] * oy
                     + m[:, 3 * e + 2 : 3 * e + 3] * oz
                 )
-                valid = valid & ((mo - c[:, e : e + 1]) + t * md >= 0.0)
+                base = base & ((mo - c[:, e : e + 1]) + t * md >= 0.0)
+            valid = base & (t <= 1.0) if capped else base
             new_blocked = blocked | jnp.any(
                 valid, axis=0, keepdims=True
             ).astype(jnp.int32)
             if not glass_flag:
                 return new_blocked
+            # glass accumulator is UNCAPPED: a refractive hit anywhere on
+            # the ray (even beyond the light) routes the lane to the
+            # faithful bend-walk (crt_renderer.cpp:29-44 walks unbounded)
             glass = carry[1] | jnp.any(
-                valid & (gm_ref[cl][:, None] > 0.5), axis=0, keepdims=True
+                base & (gm_ref[cl][:, None] > 0.5), axis=0, keepdims=True
             ).astype(jnp.int32)
             return (new_blocked, glass)
 
@@ -2238,22 +2272,23 @@ def make_pallas_trace_fn(scene, tile_rays: int | None = None,
 
     def shadow_apex_w_glass(point, shadow_o, light_positions, active,
                             origin_slack):
-        """ONE w-kernel pass -> (occluded [Ll, R], glass_in_segment
+        """ONE w-kernel pass -> (occluded [Ll, R], glass_on_ray
         [Ll, R]): same occlusion bits as shadow_apex_w plus "some
-        REFRACTIVE member hits within the segment" — the one-pass
-        transmissive-march router (shade._occlusion_masks).  A lane with
-        no in-segment glass resolves exactly as if all blockers were
-        opaque (its closest in-segment hit, if any, is non-refractive, so
-        the bend-walk would stop there); only glass-flagged lanes pay the
-        faithful march.  Deviation vs the reference's UNCAPPED walk
-        (crt_renderer.cpp:29-44): refractive geometry strictly beyond the
-        light no longer bends an unblocked lane — set
-        CRT_MARCH_GATE=uncapped for the separate exact gate."""
+        REFRACTIVE member hits anywhere on the UNBOUNDED ray" — the
+        one-pass transmissive-march router (shade._occlusion_masks),
+        REFERENCE-EXACT: the walk it routes around bends at refractive
+        hits even beyond the light (crt_renderer.cpp:29-44), so the
+        binning walks the union of the capped shaft hull and the
+        uncapped glass-member reach (the extra clusters cannot add
+        s <= 1 occlusion hits) and the kernel's glass accumulator drops
+        the s <= 1 cap.  A lane with no glass anywhere on its ray
+        resolves exactly as if all blockers were opaque; only
+        glass-flagged lanes pay the faithful march."""
         Ll, R = active.shape
         st = shadow_tile_rays or tile_rays
         if R % st:
             return None
-        gm, _, _ = _glass_subset()
+        gm, gmin, gmax = _glass_subset()
         cluster_list, counts = bin_apex_shared(
             tables,
             jax.lax.stop_gradient(shadow_o),
@@ -2261,6 +2296,7 @@ def make_pallas_trace_fn(scene, tile_rays: int | None = None,
             jax.lax.stop_gradient(active),
             st,
             origin_slack,
+            glass_boxes=(gmin, gmax),
         )
         tpl = R // st
         o_t = jax.lax.stop_gradient(shadow_o).reshape(

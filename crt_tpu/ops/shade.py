@@ -69,16 +69,17 @@ _SHADOW_COMPACT = os.environ.get("CRT_SHADOW_COMPACT", "0") != "0"
 # Transmissive-march split: partition shadow lanes by "does refractive
 # geometry touch this ray" — glass-free lanes take the w-kernel occlusion
 # fast path and only glass-suspect lanes pay the faithful bend-walk.  See
-# the inline note in _occlusion_masks.  _MARCH_GATE picks the router:
-# "uncapped" (DEFAULT — a separate unbounded any-hit against the glass
-# members, reproducing the reference walk exactly: it bends at
-# refractive hits even beyond the light, crt_renderer.cpp:29-44) or
-# "capped" (the glass flag piggybacks on the opaque w-pass at zero extra
-# traces, ~10 % faster — but beyond-the-light glass no longer bends
-# unblocked lanes, which measured a REAL 5.2 %-of-pixels difference on
-# 11-01-scene8, not a boundary effect; opt-in speed/semantics trade).
+# the inline note in _occlusion_masks.  Both gates are REFERENCE-EXACT
+# (the walk bends at refractive hits even beyond the light,
+# crt_renderer.cpp:29-44 — a round-5 capped variant that ignored
+# beyond-the-light glass flipped 5.2 % of scene8's pixels and was
+# retired).  _MARCH_GATE: "merged" (DEFAULT — the opaque w-pass walks
+# the union of the capped shaft hull and the uncapped glass reach and
+# emits the glass flag for free) or "uncapped" (a separate unbounded
+# glass-member gate pass; the independently-verifiable reference
+# implementation, ~10 % slower).
 _MARCH_SPLIT = os.environ.get("CRT_MARCH_SPLIT", "1") != "0"
-_MARCH_GATE = os.environ.get("CRT_MARCH_GATE", "uncapped")
+_MARCH_GATE = os.environ.get("CRT_MARCH_GATE", "merged")
 
 
 def lane_partition(alive: jnp.ndarray):
@@ -554,12 +555,10 @@ def _occlusion_masks(scene, trace_fn, point, normal, light_positions,
     if _MARCH_SPLIT and point.ndim == 2:
         sg = jax.lax.stop_gradient
         if _MARCH_GATE != "uncapped":
-            # One-pass router (the default): the w-kernel opaque pass also
-            # reports "some refractive member hits within the segment" —
-            # no separate gate trace at all.  Lanes without in-segment
-            # glass resolve exactly (their closest in-segment hit, if any,
-            # is opaque); the capped flag deviates from the reference's
-            # uncapped walk only for glass strictly beyond the light.
+            # One-pass MERGED router (the default): the w-kernel opaque
+            # pass walks the capped-hull ∪ uncapped-glass-reach union and
+            # also reports "some refractive member hits anywhere on the
+            # ray" — no separate gate trace, reference-exact routing.
             glass_fn = getattr(trace_fn, "shadow_apex_w_glass", None)
             if glass_fn is not None:
                 res = glass_fn(
@@ -574,11 +573,11 @@ def _occlusion_masks(scene, trace_fn, point, normal, light_positions,
                     opaque_act = act_lr & ~march_lr
                     act = march_lr.reshape(-1)
         else:
-            # CRT_MARCH_GATE=uncapped: the reference-exact gate — a
-            # separate any-hit along the UNBOUNDED ray against the glass
-            # members (bends beyond the light included), then the plain
-            # w-kernel pass on the glass-free lanes.  ~One extra shadow
-            # pass per bounce; semantics purist's path.
+            # CRT_MARCH_GATE=uncapped: the same routing via a SEPARATE
+            # unbounded glass-member gate pass + the plain w-kernel pass —
+            # one extra shadow pass per bounce; kept as the independently
+            # verifiable implementation the merged router is tested
+            # against.
             gate_fn = getattr(trace_fn, "refr_ray_hit_w", None)
             apexw_fn = getattr(trace_fn, "shadow_apex_w", None)
             if gate_fn is not None and apexw_fn is not None:

@@ -179,10 +179,9 @@ def test_march_gate_beyond_light_glass(monkeypatch):
     glass pane BEYOND the light bends extended shadow rays into a nearby
     ceiling (last-segment hit within the light distance), so the
     reference's uncapped walk (crt_renderer.cpp:29-44) shades the floor
-    as OCCLUDED.  uncapped gate (the default) must be bit-identical to
-    the unconditional faithful march; the capped gate must differ here
-    (its documented speed/semantics trade: beyond-the-light glass never
-    bends an unblocked lane)."""
+    as OCCLUDED.  BOTH routers (merged one-pass default and the separate
+    uncapped gate) must be bit-identical to the unconditional faithful
+    march — beyond-the-light glass bends included."""
     import crt_tpu.renderer as renderer
     from crt_tpu.ops.pallas_trace import make_pallas_trace_fn
     from crt_tpu.scene.json_loader import scene_from_dict
@@ -241,16 +240,18 @@ def test_march_gate_beyond_light_glass(monkeypatch):
 
     monkeypatch.setattr(shade_mod, "_MARCH_SPLIT", False)
     faithful = np.asarray(render_image(scene, settings, jit=False))
+    # sanity: the tunnel must actually shadow the floor (the bent
+    # continuation lands within the light distance) — otherwise this
+    # scene stopped exercising beyond-the-light glass
+    lit_only = np.asarray(render_image(
+        scene, settings.replace(compat_no_shadows=True), jit=False))
+    assert (np.abs(lit_only - faithful).max(-1) > 1e-6).any()
 
     monkeypatch.setattr(shade_mod, "_MARCH_SPLIT", True)
     monkeypatch.setattr(shade_mod, "_MARCH_GATE", "uncapped")
     uncapped = np.asarray(render_image(scene, settings, jit=False))
     np.testing.assert_array_equal(uncapped, faithful)
 
-    monkeypatch.setattr(shade_mod, "_MARCH_GATE", "capped")
-    capped = np.asarray(render_image(scene, settings, jit=False))
-    # the tunnel scene must actually exercise the divergence
-    assert (np.abs(capped - faithful).max(-1) > 1e-6).any(), (
-        "capped gate unexpectedly matches the faithful walk — the tunnel "
-        "construction no longer exercises beyond-the-light glass"
-    )
+    monkeypatch.setattr(shade_mod, "_MARCH_GATE", "merged")
+    merged = np.asarray(render_image(scene, settings, jit=False))
+    np.testing.assert_array_equal(merged, faithful)

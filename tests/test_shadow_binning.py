@@ -367,3 +367,40 @@ def test_occl_kernel_flag_parity(setup, monkeypatch):
     a = np.asarray(act)
     np.testing.assert_array_equal(outs[True][a], outs[False][a])
     assert outs[True][a].any() and (~outs[True][a]).any()
+
+
+def test_full_line_slab_negative_t_regression():
+    """Regression (round 5): the t_lo_clamp=False slab must use four-corner
+    interval division — the one-corner t>=0 formulas INVERT per-axis
+    [entry, exit] for boxes in the negative-t (beyond-the-light) region.
+    Exact counterexample from 11-01-scene8: tile origin box behind the
+    light, glass cluster reachable at apex-t ~ -3, z-axis formula gave
+    [-0.93, -4.44] and culled it (the transmissive-march gate then missed
+    the glass and mis-shadowed the lane)."""
+    import jax.numpy as jnp
+    from crt_tpu.ops.pallas_trace import _frustum_box_mask
+
+    apex = jnp.asarray([[-9.0, 16.0, 0.0]], jnp.float32)
+    o_lo = jnp.asarray([[-14.999211, 19.18162, -14.990004]], jnp.float32)
+    o_hi = jnp.asarray([[-8.026135, 19.996952, -1.5759029]], jnp.float32)
+    s = jnp.float32(2e-2)
+    w_lo = (o_lo - s) - apex
+    w_hi = (o_hi + s) - apex
+    bmin = jnp.asarray([[-10.77794, 1.17625, 7.105974]], jnp.float32)
+    bmax = jnp.asarray([[-4.336956, 5.924379, 14.02273]], jnp.float32)
+
+    ok = _frustum_box_mask(
+        apex, apex, w_lo, w_hi, bmin - 2 * s, bmax + 2 * s,
+        t_cap=jnp.float32(1.0 + 1e-4), t_lo_clamp=False,
+    )
+    assert bool(ok[0, 0]), (
+        "full-line slab culled a beyond-the-light box a real shadow ray "
+        "reaches (f64-verified hit at t=20.4, |w|=4.78)"
+    )
+
+    # and the capped regime must still cull it (entry > 1 on the segment)
+    ok_capped = _frustum_box_mask(
+        apex, apex, w_lo, w_hi, bmin - 2 * s, bmax + 2 * s,
+        t_cap=jnp.float32(1.0 + 1e-4),
+    )
+    assert not bool(ok_capped[0, 0])
