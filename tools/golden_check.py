@@ -45,6 +45,20 @@ def main(argv):
             # verbatim (render_image routes AOV passes itself).
             img = np.asarray(render_image(scene, RenderSettings(**overrides)))
             frac, mae = golden.match_stats(img, golden.load_golden(name))
+            if frac < 0.5:
+                # The axon relay occasionally corrupts a device->host
+                # readback wholesale (a measured round-5 transient: one
+                # sweep read frac=0.0 for a scene that re-rendered at
+                # 0.9997).  A catastrophic mismatch on a framework bug
+                # reproduces; a transient does not — retry once and
+                # report both.
+                img = np.asarray(
+                    render_image(scene, RenderSettings(**overrides))
+                )
+                frac2, mae2 = golden.match_stats(img, golden.load_golden(name))
+                print(f"{name}: frac={frac:.4f} on first read — retried: "
+                      f"frac={frac2:.4f}", flush=True)
+                frac, mae = frac2, mae2
             dt = time.time() - t0
             print(f"{name}: frac={frac:.4f} mae={mae:.5f} t={dt:.1f}s", flush=True)
             results.append((name, frac, mae))
