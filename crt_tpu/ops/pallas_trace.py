@@ -1974,7 +1974,7 @@ def make_pallas_trace_fn(scene, tile_rays: int | None = None,
     tables = jax.tree.map(jax.lax.stop_gradient, tables)
     rows_table_cache = []
 
-    def _trace_impl(origins, dirs, active, want_rows):
+    def _trace_impl(origins, dirs, active, want_rows, near=None):
         batch_shape = origins.shape[:-1]
         o = origins.reshape(-1, 3)
         d = dirs.reshape(-1, 3)
@@ -2007,7 +2007,7 @@ def make_pallas_trace_fn(scene, tile_rays: int | None = None,
             interpret=interpret,
             rows_table=rows_table,
             compact=compact_masked and a is not None,
-            near_exit=_NEAR_EXIT,
+            near_exit=_NEAR_EXIT if near is None else near,
         )
         hit, rows = out if want_rows else (out, None)
         hit = Hit(
@@ -2020,6 +2020,17 @@ def make_pallas_trace_fn(scene, tile_rays: int | None = None,
 
     def trace(origins, dirs, active=None):
         return _trace_impl(origins, dirs, active, False)
+
+    def trace_near(origins, dirs, active=None):
+        """Closest hit via the near-origin-first bounded-exit walk
+        (bin_rays near_order + the per-lane scene-box settle bound).
+        Same results up to cross-cluster exact-t tie order; built for
+        wavefronts whose hits are NEAR (the transmissive march's bent
+        continuations exit the glass almost immediately) where the
+        default Morton-order walk runs to full count."""
+        return _trace_impl(origins, dirs, active, False, near=True)
+
+    trace.near = trace_near
 
     def trace_with_rows(origins, dirs, active=None):
         """(Hit, rows [K+1, R]) — kernel-emitted packed rows + slot-rank

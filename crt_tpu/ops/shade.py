@@ -80,6 +80,10 @@ _SHADOW_COMPACT = os.environ.get("CRT_SHADOW_COMPACT", "0") != "0"
 # implementation, ~10 % slower).
 _MARCH_SPLIT = os.environ.get("CRT_MARCH_SPLIT", "1") != "0"
 _MARCH_GATE = os.environ.get("CRT_MARCH_GATE", "merged")
+# Near-first bounded-exit walk for the march's bent RE-TRACES (hits are
+# near: the continuation exits its glass almost immediately).  Changes
+# results only on cross-cluster exact-t ties (walk order).  A/B flag.
+_MARCH_NEAR = os.environ.get("CRT_MARCH_NEAR", "0") != "0"
 
 
 def lane_partition(alive: jnp.ndarray):
@@ -680,9 +684,10 @@ def _occlusion_masks(scene, trace_fn, point, normal, light_positions,
             )
         )  # [5, T]
 
-    def march_step(carry):
+    def march_step(carry, near=False):
         o, d, alive, last_valid, last_t = carry
-        sh = trace_fn(o, d, alive)
+        near_fn = getattr(trace_fn, "near", None) if near else None
+        sh = (near_fn or trace_fn)(o, d, alive)
         sh_t = jax.lax.stop_gradient(sh.t)
         tri = jnp.maximum(jax.lax.stop_gradient(sh.tri), 0)
         hit_valid = sh.valid & alive
@@ -734,6 +739,14 @@ def _occlusion_masks(scene, trace_fn, point, normal, light_positions,
         return tuple(x[pos] for x in carry_c)
 
     step_fn = compacted_march_step if _SHADOW_COMPACT else march_step
+    # Bent continuations start INSIDE glass and exit it within a short
+    # distance — the near-first bounded-exit walk settles those tiles in
+    # a few clusters where the Morton-order walk runs to full count
+    # (same hits up to cross-cluster exact-t tie order).  A/B flag.
+    if _MARCH_NEAR and not _SHADOW_COMPACT:
+        step_fn_cont = functools.partial(march_step, near=True)
+    else:
+        step_fn_cont = step_fn
 
     # Experiment knob: cap the bent-continuation depth (phase attribution
     # of the first trace vs the re-traces).  Semantics-changing — never
@@ -754,7 +767,7 @@ def _occlusion_masks(scene, trace_fn, point, normal, light_positions,
             # sits under a cond.  Python loop (not scan): trace_fn's
             # binning tiers may specialize per call site; depth is tiny.
             carry = jax.lax.cond(
-                jnp.any(carry[2]), step_fn, lambda c: c, carry
+                jnp.any(carry[2]), step_fn_cont, lambda c: c, carry
             )
         *_, last_valid, last_t = carry
         return last_valid, last_t
