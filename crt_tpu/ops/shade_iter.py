@@ -64,7 +64,6 @@ from crt_tpu.ops import rng as rng_mod
 from crt_tpu.ops import vecmath
 from crt_tpu.ops.intersect import Hit
 from crt_tpu.ops.shade import (
-    _hadamard,
     _occlusion_masks,
     hit_attributes,
     lane_partition,

@@ -114,9 +114,7 @@ def test_march_split_bit_identical(monkeypatch):
 def test_refr_ray_hit_gate_superset():
     """The glass gate must flag every lane whose shadow ray actually hits
     refractive geometry (superset; exactness is the kernel's business)."""
-    import jax
     from crt_tpu.ops import camera as camera_ops
-    from crt_tpu.ops import vecmath
     from crt_tpu.ops.pallas_trace import make_pallas_trace_fn
     from crt_tpu.renderer import make_tiler
     from crt_tpu.scene.types import MATERIAL_REFRACTIVE

@@ -21,9 +21,7 @@ from crt_tpu.utils.cache import enable_compilation_cache
 
 enable_compilation_cache()
 
-import jax
 import jax.numpy as jnp
-import numpy as np
 
 from crt_tpu import RenderSettings, load_scene
 from crt_tpu.ops import camera as camera_ops, vecmath
